@@ -1,0 +1,10 @@
+from .iassd_head import IASSDHead, MLTSSDHead
+
+__all__ = {
+    'IASSD_Head': IASSDHead,
+    'MLT_SSD_Head': MLTSSDHead,
+}
+
+
+def build_point_head(name, **kwargs):
+    return __all__[name](**kwargs)

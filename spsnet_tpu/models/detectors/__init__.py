@@ -1,0 +1,14 @@
+"""Detector registry (parity: ``pcdet/models/detectors/__init__.py:15-37``)."""
+from .iassd import IASSD
+from .pagnet import PAGNet, SPSNetIA
+
+_DETECTORS = {
+    'IASSD': IASSD,
+    'PAGNet': PAGNet,
+    'SPSNet': SPSNetIA,
+}
+
+
+def build_detector(model_cfg, num_class, dataset=None, **kwargs):
+    cls = _DETECTORS[model_cfg.NAME]
+    return cls(model_cfg=model_cfg, num_class=num_class, **kwargs)

@@ -1,0 +1,92 @@
+"""Shared detector machinery: post-processing (NMS) and recall bookkeeping.
+
+Rebuild of ``Detector3DTemplate.post_processing`` (``detector3d_template.py:
+186-292``) as a pure fixed-shape function: per-frame class-agnostic NMS is a
+vmapped masked greedy suppression instead of a CUDA kernel + python batch loop.
+Outputs are zero/-1 padded to ``NMS_POST_MAXSIZE`` with a per-frame count.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ... import ops
+
+
+@functools.partial(jax.jit, static_argnames=('score_thresh', 'nms_thresh',
+                                             'nms_pre', 'nms_post'))
+def class_agnostic_nms_batch(batch_box_preds, batch_cls_preds,
+                             score_thresh: float, nms_thresh: float,
+                             nms_pre: int, nms_post: int,
+                             cls_preds_normalized: bool = False):
+    """
+    Args:
+        batch_box_preds: (B, M, 7); batch_cls_preds: (B, M, num_class) logits.
+    Returns dict:
+        boxes (B, P, 7), scores (B, P), labels (B, P) int32 (1-based, 0 pad),
+        count (B,) int32.
+
+    Parity: ``model_nms_utils.class_agnostic_nms`` (``model_nms_utils.py:6-25``)
+    — score-threshold mask, top-``nms_pre`` by score, rotated NMS, ``nms_post``
+    cap.
+    """
+    cls_scores = batch_cls_preds if cls_preds_normalized \
+        else jax.nn.sigmoid(batch_cls_preds)
+    scores = jnp.max(cls_scores, axis=-1)
+    labels = jnp.argmax(cls_scores, axis=-1).astype(jnp.int32) + 1
+    valid = scores > score_thresh
+
+    def one_frame(boxes, score, lab, val):
+        keep_idx, num = ops.nms_bev(boxes, score, nms_thresh,
+                                    pre_maxsize=nms_pre, post_maxsize=nms_post,
+                                    valid=val)
+        ok = keep_idx >= 0
+        safe = jnp.clip(keep_idx, 0, None)
+        out_boxes = jnp.where(ok[:, None], boxes[safe], 0.0)
+        out_scores = jnp.where(ok, score[safe], 0.0)
+        out_labels = jnp.where(ok, lab[safe], 0)
+        return out_boxes, out_scores, out_labels, num
+
+    boxes, scores_o, labels_o, count = jax.vmap(one_frame)(
+        batch_box_preds, scores, labels, valid)
+    return {'boxes': boxes, 'scores': scores_o, 'labels': labels_o,
+            'count': count}
+
+
+def post_processing(batch, post_cfg):
+    """Run configured NMS over head outputs; returns the final dets dict."""
+    nms_cfg = post_cfg.NMS_CONFIG
+    assert not nms_cfg.get('MULTI_CLASSES_NMS', False), \
+        'multi-class NMS: use class_specific path (todo breadth)'
+    return class_agnostic_nms_batch(
+        batch['batch_box_preds'], batch['batch_cls_preds'],
+        score_thresh=float(post_cfg.SCORE_THRESH),
+        nms_thresh=float(nms_cfg.NMS_THRESH),
+        nms_pre=int(nms_cfg.NMS_PRE_MAXSIZE),
+        nms_post=int(nms_cfg.NMS_POST_MAXSIZE),
+        cls_preds_normalized=bool(batch.get('cls_preds_normalized', False)))
+
+
+def generate_recall_record(pred_boxes, pred_count, gt_boxes,
+                           thresh_list=(0.3, 0.5, 0.7)):
+    """Recall bookkeeping vs gt for one frame (parity:
+    ``Detector3DTemplate.generate_recall_record``, ``:294-336``).
+
+    Args:
+        pred_boxes: (P, 7) zero-padded; pred_count: () int; gt_boxes: (T, 8).
+    Returns dict {recalled_<t>: int, gt: int}.
+    """
+    gt_valid = gt_boxes[:, 3] > 0
+    num_gt = jnp.sum(gt_valid)
+    iou = ops.boxes_iou3d(gt_boxes[:, :7], pred_boxes)      # (T, P)
+    pred_valid = (jnp.arange(pred_boxes.shape[0]) < pred_count)[None, :]
+    iou = jnp.where(pred_valid & gt_valid[:, None], iou, 0.0)
+    best = jnp.max(iou, axis=1)
+    out = {'gt': num_gt}
+    for t in thresh_list:
+        out[f'roi_{t}'] = jnp.sum((best > t) & gt_valid)
+        out[f'rcnn_{t}'] = jnp.sum((best > t) & gt_valid)
+    return out

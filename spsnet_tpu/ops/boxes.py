@@ -1,0 +1,213 @@
+"""Rotated-box ops: points-in-boxes, exact BEV overlap/IoU, 3D IoU, NMS.
+
+Replaces ``iou3d_nms_cuda`` (``pcdet/ops/iou3d_nms/src/iou3d_nms_kernel.cu``)
+and ``roiaware_pool3d_cuda``'s ``points_in_boxes`` kernels
+(``roiaware_pool3d_kernel.cu:313-339``) with fixed-shape XLA programs:
+
+- Exact rotated-rectangle overlap via Sutherland–Hodgman polygon clipping
+  with fixed-size vertex buffers (convex quad ∩ convex quad has <= 8
+  vertices), vmapped over box pairs — same mathematics as the CUDA polygon
+  clip (``iou3d_nms_kernel.cu:51-104``) but branch-free.
+- Greedy NMS as a sequential masked suppression over score-sorted boxes
+  (matches the 64-boxes-per-block bitmask NMS result exactly: both compute
+  the canonical greedy solution).
+- Points-in-boxes as a dense (N_pts x N_boxes) rotate-and-compare; returns
+  the *first* (lowest-index) containing box like the CUDA loop-and-break.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import box_utils
+
+_CLIP_BUF = 8          # max vertices of quad-quad intersection
+_EPS = 1e-8
+
+
+def _bev_corners(boxes):
+    """(..., 7) -> (..., 4, 2) BEV corners in CCW order."""
+    dx, dy = boxes[..., 3], boxes[..., 4]
+    template = jnp.asarray(
+        [[0.5, 0.5], [-0.5, 0.5], [-0.5, -0.5], [0.5, -0.5]], dtype=boxes.dtype)
+    local = template * jnp.stack([dx, dy], axis=-1)[..., None, :]
+    rz = boxes[..., 6:7]
+    cosa, sina = jnp.cos(rz)[..., None], jnp.sin(rz)[..., None]
+    x = local[..., 0] * cosa[..., 0] - local[..., 1] * sina[..., 0]
+    y = local[..., 0] * sina[..., 0] + local[..., 1] * cosa[..., 0]
+    rot = jnp.stack([x, y], axis=-1)
+    return rot + boxes[..., None, 0:2]
+
+
+def _cross2(o, a, b):
+    return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) \
+        - (a[..., 1] - o[..., 1]) * (b[..., 0] - o[..., 0])
+
+
+def _clip_poly_halfplane(poly, cnt, e1, e2):
+    """Clip (K, 2) polygon (cnt valid CCW vertices) by half-plane left of e1->e2."""
+    K = poly.shape[0]
+    idx = jnp.arange(K)
+    nxt_idx = jnp.where(idx + 1 >= cnt, 0, idx + 1)
+    cur = poly
+    nxt = poly[nxt_idx]
+    f_cur = _cross2(e1, e2, cur)
+    f_nxt = _cross2(e1, e2, nxt)
+    in_cur = f_cur >= 0
+    in_nxt = f_nxt >= 0
+    valid_vtx = idx < cnt
+
+    denom = f_cur - f_nxt
+    safe = jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
+    s = (f_cur / safe)[..., None]
+    inter = cur + s * (nxt - cur)
+
+    # Emission slots: 2i -> cur (if inside), 2i+1 -> crossing point.
+    emit_pts = jnp.stack([cur, inter], axis=1).reshape(2 * K, 2)
+    emit_ok = jnp.stack([in_cur & valid_vtx,
+                         (in_cur != in_nxt) & valid_vtx], axis=1).reshape(2 * K)
+    pos = jnp.cumsum(emit_ok) - 1
+    pos = jnp.where(emit_ok, pos, 2 * K)
+    out = jnp.zeros((K, 2), dtype=poly.dtype).at[pos].set(emit_pts, mode='drop')
+    return out, jnp.sum(emit_ok).astype(jnp.int32)
+
+
+def _poly_area(poly, cnt):
+    K = poly.shape[0]
+    idx = jnp.arange(K)
+    nxt_idx = jnp.where(idx + 1 >= cnt, 0, idx + 1)
+    cross = poly[:, 0] * poly[nxt_idx, 1] - poly[nxt_idx, 0] * poly[:, 1]
+    return 0.5 * jnp.abs(jnp.sum(jnp.where(idx < cnt, cross, 0.0)))
+
+
+def _quad_overlap(ca, cb):
+    """Overlap area of two CCW quads (4, 2) x (4, 2)."""
+    poly = jnp.zeros((_CLIP_BUF, 2), dtype=ca.dtype).at[:4].set(ca)
+    cnt = jnp.int32(4)
+    for k in range(4):
+        poly, cnt = _clip_poly_halfplane(poly, cnt, cb[k], cb[(k + 1) % 4])
+    return jnp.where(cnt >= 3, _poly_area(poly, cnt), 0.0)
+
+
+@jax.jit
+def boxes_overlap_bev(boxes_a, boxes_b):
+    """Exact rotated BEV overlap areas, (N, 7) x (M, 7) -> (N, M).
+
+    Parity: ``boxes_overlap_bev_gpu`` (``iou3d_nms_utils.py:31-45``).
+    """
+    ca = _bev_corners(boxes_a)
+    cb = _bev_corners(boxes_b)
+    return jax.vmap(lambda a: jax.vmap(lambda b: _quad_overlap(a, b))(cb))(ca)
+
+
+@jax.jit
+def boxes_iou_bev(boxes_a, boxes_b):
+    """Rotated BEV IoU (``iou3d_nms_utils.py`` ``boxes_iou_bev``)."""
+    overlap = boxes_overlap_bev(boxes_a, boxes_b)
+    area_a = (boxes_a[:, 3] * boxes_a[:, 4])[:, None]
+    area_b = (boxes_b[:, 3] * boxes_b[:, 4])[None, :]
+    return overlap / jnp.clip(area_a + area_b - overlap, 1e-6, None)
+
+
+@jax.jit
+def boxes_iou3d(boxes_a, boxes_b):
+    """3D IoU with z-center boxes (``iou3d_nms_utils.py:48-81``)."""
+    overlap_bev = boxes_overlap_bev(boxes_a, boxes_b)
+    a_top = (boxes_a[:, 2] + boxes_a[:, 5] / 2)[:, None]
+    a_bot = (boxes_a[:, 2] - boxes_a[:, 5] / 2)[:, None]
+    b_top = (boxes_b[:, 2] + boxes_b[:, 5] / 2)[None, :]
+    b_bot = (boxes_b[:, 2] - boxes_b[:, 5] / 2)[None, :]
+    overlap_h = jnp.clip(jnp.minimum(a_top, b_top) - jnp.maximum(a_bot, b_bot), 0, None)
+    overlap_3d = overlap_bev * overlap_h
+    vol_a = (boxes_a[:, 3] * boxes_a[:, 4] * boxes_a[:, 5])[:, None]
+    vol_b = (boxes_b[:, 3] * boxes_b[:, 4] * boxes_b[:, 5])[None, :]
+    return overlap_3d / jnp.clip(vol_a + vol_b - overlap_3d, 1e-6, None)
+
+
+@jax.jit
+def points_in_boxes(points, boxes):
+    """Assign points to the first containing rotated box.
+
+    Args:
+        points: (B, N, 3); boxes: (B, T, 7) zero-padded (dx == 0 => padding).
+    Returns:
+        (B, N) int32: first containing box index, or -1.
+
+    Parity: ``points_in_boxes_kernel`` (``roiaware_pool3d_kernel.cu:313-339``):
+    first-match loop, |z| <= dz/2, xy with 1e-5 margin. Padding rows (all-zero
+    boxes) are explicitly excluded — the CUDA path relies on zero boxes never
+    matching, which fails for points exactly at the origin.
+    """
+    local = box_utils.points_to_box_local(points, boxes[..., :7])  # (B,N,T,3)
+    inside = box_utils.in_canonical_box(local, boxes[..., None, :, 3:6])
+    inside = inside & (boxes[..., None, :, 3] > 0)
+    any_hit = jnp.any(inside, axis=-1)
+    first = jnp.argmax(inside, axis=-1).astype(jnp.int32)
+    return jnp.where(any_hit, first, -1)
+
+
+def _greedy_suppress(iou, valid, thresh):
+    """Sequential greedy NMS over boxes already sorted by descending score."""
+    K = iou.shape[0]
+
+    def body(i, suppressed):
+        is_kept = jnp.logical_not(suppressed[i]) & valid[i]
+        overlap = (iou[i] > thresh) & (jnp.arange(K) > i)
+        return suppressed | (is_kept & overlap)
+
+    suppressed = jax.lax.fori_loop(0, K, body, jnp.zeros((K,), dtype=bool))
+    return jnp.logical_not(suppressed) & valid
+
+
+@functools.partial(jax.jit, static_argnames=('pre_maxsize', 'post_maxsize', 'axis_aligned'))
+def nms_bev(boxes, scores, thresh: float, pre_maxsize: int = 4096,
+            post_maxsize: int = 500, valid=None, axis_aligned: bool = False):
+    """Rotated BEV greedy NMS (parity: ``nms_gpu``, ``iou3d_nms_utils.py:84-99``).
+
+    Args:
+        boxes: (K, 7); scores: (K,); valid: optional (K,) bool mask.
+        pre_maxsize/post_maxsize: static caps (reference defaults 4096 / 500).
+        axis_aligned: use axis-aligned BEV IoU (parity: ``nms_normal_gpu``).
+    Returns:
+        keep_idx: (post_maxsize,) int32 indices into the input, -1 padded;
+        num_kept: () int32.
+    """
+    K = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((K,), dtype=bool)
+    pre = min(pre_maxsize, K)
+    masked_scores = jnp.where(valid, scores, -jnp.inf)
+    top_scores, order = jax.lax.top_k(masked_scores, pre)
+    sorted_boxes = boxes[order]
+    sorted_valid = top_scores > -jnp.inf
+
+    if axis_aligned:
+        mins = sorted_boxes[:, 0:2] - sorted_boxes[:, 3:5] / 2
+        maxs = sorted_boxes[:, 0:2] + sorted_boxes[:, 3:5] / 2
+        lt = jnp.maximum(mins[:, None, :], mins[None, :, :])
+        rb = jnp.minimum(maxs[:, None, :], maxs[None, :, :])
+        wh = jnp.clip(rb - lt, 0, None)
+        overlap = wh[..., 0] * wh[..., 1]
+        area = (sorted_boxes[:, 3] * sorted_boxes[:, 4])
+        iou = overlap / jnp.clip(area[:, None] + area[None, :] - overlap, 1e-6, None)
+    else:
+        iou = boxes_iou_bev(sorted_boxes, sorted_boxes)
+
+    keep_mask = _greedy_suppress(iou, sorted_valid, thresh)
+
+    # First post_maxsize kept boxes in score order.
+    kept_rank = jnp.cumsum(keep_mask) - 1
+    post = min(post_maxsize, pre)
+    slot = jnp.where(keep_mask, kept_rank, post)
+    keep_idx = jnp.full((post,), -1, dtype=jnp.int32)
+    keep_idx = keep_idx.at[slot].set(order.astype(jnp.int32), mode='drop')
+    num = jnp.minimum(jnp.sum(keep_mask), post).astype(jnp.int32)
+    return keep_idx, num
+
+
+def nms_normal(boxes, scores, thresh, pre_maxsize=4096, post_maxsize=500, valid=None):
+    """Axis-aligned NMS (parity: ``nms_normal_gpu``, ``iou3d_nms_utils.py:102-116``)."""
+    return nms_bev(boxes, scores, thresh, pre_maxsize, post_maxsize, valid,
+                   axis_aligned=True)

@@ -1,0 +1,101 @@
+"""Farthest point sampling (D-FPS / F-FPS) as XLA loops or a Pallas kernel.
+
+Replaces ``pointnet2_batch_cuda`` sampling kernels
+(``pcdet/ops/pointnet2/pointnet2_batch/src/sampling_gpu.cu:93-374``).
+Semantics replicated:
+- the first selected index is always 0 (``sampling_gpu.cu:112-114``),
+- running min-distance update ``temp = min(temp, d2)`` then global argmax,
+- F-FPS runs the same loop over a precomputed (B, N, N) distance matrix.
+
+Tie-breaking: we take the lowest index among maxima (numpy-argmax order);
+the CUDA tree reduction has an arbitrary but fixed tie order — ties are
+measure-zero for float point clouds.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def calc_square_dist(a, b):
+    """Squared pairwise distances, (B, N, C) x (B, M, C) -> (B, N, M).
+
+    Mirrors ``_PointnetSAModuleBase.calc_square_dist``
+    (``pointnet2_modules.py:19-43``) — the MXU-friendly |a|^2+|b|^2-2ab form.
+    """
+    a_sq = jnp.sum(a * a, axis=-1, keepdims=True)          # (B, N, 1)
+    b_sq = jnp.sum(b * b, axis=-1, keepdims=True)          # (B, M, 1)
+    # HIGHEST precision: distances feed argmax/top-k selection — the TPU
+    # default bf16 matmul reorders near-ties and breaks kernel parity.
+    cross = jnp.einsum('bnc,bmc->bnm', a, b,
+                       precision=jax.lax.Precision.HIGHEST)
+    return a_sq + jnp.swapaxes(b_sq, 1, 2) - 2.0 * cross
+
+
+@functools.partial(jax.jit, static_argnames=('npoint',))
+def farthest_point_sample(xyz, npoint: int, valid_mask=None):
+    """Iterative farthest point sampling.
+
+    Args:
+        xyz: (B, N, 3) float coordinates.
+        npoint: number of samples (static).
+        valid_mask: optional (B, N) bool; invalid points are never selected
+            (used for padded point tensors — a capability the CUDA kernel
+            lacks; it assumes fully-valid fixed N).
+    Returns:
+        (B, npoint) int32 sample indices.
+    """
+    B, N, _ = xyz.shape
+    dist = jnp.full((B, N), 1e10, dtype=jnp.float32)
+    if valid_mask is not None:
+        # Invalid points keep dist -1 so any valid point beats them at argmax.
+        dist = jnp.where(valid_mask, dist, -1.0)
+    idx0 = jnp.zeros((B,), dtype=jnp.int32)
+
+    def body(i, carry):
+        dist, last, out = carry
+        last_xyz = jnp.take_along_axis(xyz, last[:, None, None], axis=1)  # (B,1,3)
+        d2 = jnp.sum((xyz - last_xyz) ** 2, axis=-1)                       # (B,N)
+        if valid_mask is not None:
+            d2 = jnp.where(valid_mask, d2, -1.0)
+        dist = jnp.minimum(dist, d2)
+        nxt = jnp.argmax(dist, axis=1).astype(jnp.int32)
+        out = out.at[:, i].set(nxt)
+        return dist, nxt, out
+
+    out = jnp.zeros((B, npoint), dtype=jnp.int32)
+    out = out.at[:, 0].set(idx0)
+    if npoint == 1:
+        return out
+    # First update uses index 0 as the seed (matches CUDA `old = 0`).
+    _, _, out = jax.lax.fori_loop(1, npoint, body, (dist, idx0, out))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=('npoint',))
+def farthest_point_sample_with_dist(dist_mat, npoint: int):
+    """FPS over a precomputed (B, N, N) squared-distance matrix (F-FPS).
+
+    Replaces ``furthest_point_sampling_with_dist_kernel``
+    (``sampling_gpu.cu:256-374``).
+    """
+    B, N, _ = dist_mat.shape
+    dist = jnp.full((B, N), 1e10, dtype=jnp.float32)
+    idx0 = jnp.zeros((B,), dtype=jnp.int32)
+
+    def body(i, carry):
+        dist, last, out = carry
+        d2 = jnp.take_along_axis(dist_mat, last[:, None, None], axis=1)[:, 0, :]
+        dist = jnp.minimum(dist, d2)
+        nxt = jnp.argmax(dist, axis=1).astype(jnp.int32)
+        out = out.at[:, i].set(nxt)
+        return dist, nxt, out
+
+    out = jnp.zeros((B, npoint), dtype=jnp.int32)
+    out = out.at[:, 0].set(idx0)
+    if npoint == 1:
+        return out
+    _, _, out = jax.lax.fori_loop(1, npoint, body, (dist, idx0, out))
+    return out

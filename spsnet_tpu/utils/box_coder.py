@@ -1,0 +1,216 @@
+"""Box encode/decode (jit-friendly).
+
+Parity targets in ``pcdet/utils/box_coder_utils.py``:
+- ``ResidualCoder`` (:5) — anchor-based 7-dof residual coder.
+- ``PointResidualCoder`` (:144) — point-based residual coder.
+- ``PointResidual_BinOri_Coder`` (:224) — IA-SSD/SPSNet coder: 6 residuals
+  (xyz normalized by class mean-size diagonal, log dims) + ``bin_size``-bin
+  orientation classification + in-bin residual; ``code_size = 6 + 2*bins``.
+
+All coders are stateless dataclass-like objects whose methods are pure jnp.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class ResidualCoder:
+    """Anchor-based residual coder (``box_coder_utils.py:5-68``)."""
+
+    def __init__(self, code_size=7, encode_angle_by_sincos=False, **kwargs):
+        self.code_size = code_size
+        self.encode_angle_by_sincos = encode_angle_by_sincos
+        if self.encode_angle_by_sincos:
+            self.code_size += 1
+
+    def encode(self, boxes, anchors):
+        anchors = anchors.at[..., 3:6].set(jnp.clip(anchors[..., 3:6], 1e-5, None))
+        boxes = boxes.at[..., 3:6].set(jnp.clip(boxes[..., 3:6], 1e-5, None))
+        xa, ya, za, dxa, dya, dza, ra = jnp.split(anchors[..., :7], 7, axis=-1)
+        xg, yg, zg, dxg, dyg, dzg, rg = jnp.split(boxes[..., :7], 7, axis=-1)
+        cgs = [boxes[..., 7 + i:8 + i] for i in range(boxes.shape[-1] - 7)]
+        cas = [anchors[..., 7 + i:8 + i] for i in range(anchors.shape[-1] - 7)]
+
+        diagonal = jnp.sqrt(dxa ** 2 + dya ** 2)
+        xt = (xg - xa) / diagonal
+        yt = (yg - ya) / diagonal
+        zt = (zg - za) / dza
+        dxt = jnp.log(dxg / dxa)
+        dyt = jnp.log(dyg / dya)
+        dzt = jnp.log(dzg / dza)
+        if self.encode_angle_by_sincos:
+            rts = [jnp.cos(rg) - jnp.cos(ra), jnp.sin(rg) - jnp.sin(ra)]
+        else:
+            rts = [rg - ra]
+        cts = [g - a for g, a in zip(cgs, cas)]
+        return jnp.concatenate([xt, yt, zt, dxt, dyt, dzt, *rts, *cts], axis=-1)
+
+    def decode(self, encodings, anchors):
+        xa, ya, za, dxa, dya, dza, ra = jnp.split(anchors[..., :7], 7, axis=-1)
+        if not self.encode_angle_by_sincos:
+            xt, yt, zt, dxt, dyt, dzt, rt = jnp.split(encodings[..., :7], 7, axis=-1)
+            rest = encodings[..., 7:]
+        else:
+            xt, yt, zt, dxt, dyt, dzt, cost, sint = jnp.split(encodings[..., :8], 8, axis=-1)
+            rest = encodings[..., 8:]
+
+        diagonal = jnp.sqrt(dxa ** 2 + dya ** 2)
+        xg = xt * diagonal + xa
+        yg = yt * diagonal + ya
+        zg = zt * dza + za
+        dxg = jnp.exp(dxt) * dxa
+        dyg = jnp.exp(dyt) * dya
+        dzg = jnp.exp(dzt) * dza
+        if self.encode_angle_by_sincos:
+            rg = jnp.arctan2(sint + jnp.sin(ra), cost + jnp.cos(ra))
+        else:
+            rg = rt + ra
+        cts = [rest[..., i:i + 1] + anchors[..., 7 + i:8 + i]
+               for i in range(rest.shape[-1])]
+        return jnp.concatenate([xg, yg, zg, dxg, dyg, dzg, rg, *cts], axis=-1)
+
+
+class PointResidualBinOriCoder:
+    """IA-SSD's ``PointResidual_BinOri_Coder`` (``box_coder_utils.py:224-319``).
+
+    Encoding layout: ``[xt, yt, zt, dxt, dyt, dzt, bin_id, bin_res]`` for
+    targets; predictions carry ``6 + 2*bin_size`` channels (bin logits +
+    per-bin residuals).
+    """
+
+    def __init__(self, use_mean_size=True, mean_size=None, angle_bin_num=12, **kwargs):
+        self.bin_size = int(kwargs.get('bin_size', angle_bin_num))
+        self.code_size = 6 + 2 * self.bin_size
+        self.bin_inter = 2 * np.pi / self.bin_size
+        self.use_mean_size = use_mean_size
+        if self.use_mean_size:
+            self.mean_size = np.asarray(mean_size, dtype=np.float32)
+            assert self.mean_size.min() > 0
+
+    def _anchor_size(self, classes):
+        mean = jnp.asarray(self.mean_size)
+        idx = jnp.clip(classes.astype(jnp.int32) - 1, 0, mean.shape[0] - 1)
+        return mean[idx]
+
+    def encode(self, gt_boxes, points, gt_classes=None):
+        """gt_boxes (N, 7+), points (N, 3), gt_classes (N,) in [1, num_class]."""
+        gt_boxes = gt_boxes.at[..., 3:6].set(jnp.clip(gt_boxes[..., 3:6], 1e-5, None))
+        xg, yg, zg, dxg, dyg, dzg, rg = [gt_boxes[..., i] for i in range(7)]
+        xa, ya, za = [points[..., i] for i in range(3)]
+        if self.use_mean_size:
+            anchor = self._anchor_size(gt_classes)
+            dxa, dya, dza = anchor[..., 0], anchor[..., 1], anchor[..., 2]
+            diagonal = jnp.sqrt(dxa ** 2 + dya ** 2)
+            xt = (xg - xa) / diagonal
+            yt = (yg - ya) / diagonal
+            zt = (zg - za) / dza
+            dxt = jnp.log(dxg / dxa)
+            dyt = jnp.log(dyg / dya)
+            dzt = jnp.log(dzg / dza)
+        else:
+            xt, yt, zt = xg - xa, yg - ya, zg - za
+            dxt, dyt, dzt = jnp.log(dxg), jnp.log(dyg), jnp.log(dzg)
+
+        rg = jnp.clip(rg, -np.pi + 1e-5, np.pi - 1e-5)
+        bin_id = jnp.floor((rg + np.pi) / self.bin_inter)
+        bin_res = ((rg + np.pi) - (bin_id * self.bin_inter + self.bin_inter / 2)) \
+            / (self.bin_inter / 2)
+        return jnp.stack([xt, yt, zt, dxt, dyt, dzt, bin_id, bin_res], axis=-1)
+
+    def decode(self, box_encodings, points, pred_classes=None):
+        """box_encodings (N, 6+2*bins) predictions -> (N, 7) boxes."""
+        xt, yt, zt, dxt, dyt, dzt = [box_encodings[..., i] for i in range(6)]
+        xa, ya, za = [points[..., i] for i in range(3)]
+        if self.use_mean_size:
+            anchor = self._anchor_size(pred_classes)
+            dxa, dya, dza = anchor[..., 0], anchor[..., 1], anchor[..., 2]
+            diagonal = jnp.sqrt(dxa ** 2 + dya ** 2)
+            xg = xt * diagonal + xa
+            yg = yt * diagonal + ya
+            zg = zt * dza + za
+            dxg = jnp.exp(dxt) * dxa
+            dyg = jnp.exp(dyt) * dya
+            dzg = jnp.exp(dzt) * dza
+        else:
+            xg, yg, zg = xt + xa, yt + ya, zt + za
+            dxg = jnp.exp(dxt)
+            dyg = jnp.exp(dyt)
+            dzg = jnp.exp(dzt)
+
+        bin_logits = box_encodings[..., 6:6 + self.bin_size]
+        bin_res_all = box_encodings[..., 6 + self.bin_size:6 + 2 * self.bin_size]
+        bin_id = jnp.argmax(bin_logits, axis=-1)
+        bin_res = jnp.take_along_axis(bin_res_all, bin_id[..., None], axis=-1)[..., 0]
+        rg = bin_id.astype(box_encodings.dtype) * self.bin_inter - np.pi \
+            + self.bin_inter / 2 + bin_res * (self.bin_inter / 2)
+        return jnp.stack([xg, yg, zg, dxg, dyg, dzg, rg], axis=-1)
+
+
+class PointResidualCoder:
+    """``PointResidualCoder`` (``box_coder_utils.py:144-221``): direct angle."""
+
+    def __init__(self, code_size=8, use_mean_size=True, mean_size=None, **kwargs):
+        self.code_size = code_size
+        self.use_mean_size = use_mean_size
+        if self.use_mean_size:
+            self.mean_size = np.asarray(mean_size, dtype=np.float32)
+            assert self.mean_size.min() > 0
+
+    def _anchor_size(self, classes):
+        mean = jnp.asarray(self.mean_size)
+        idx = jnp.clip(classes.astype(jnp.int32) - 1, 0, mean.shape[0] - 1)
+        return mean[idx]
+
+    def encode(self, gt_boxes, points, gt_classes=None):
+        gt_boxes = gt_boxes.at[..., 3:6].set(jnp.clip(gt_boxes[..., 3:6], 1e-5, None))
+        xg, yg, zg, dxg, dyg, dzg, rg = [gt_boxes[..., i] for i in range(7)]
+        extra = [gt_boxes[..., 7 + i] for i in range(gt_boxes.shape[-1] - 7)]
+        xa, ya, za = [points[..., i] for i in range(3)]
+        if self.use_mean_size:
+            anchor = self._anchor_size(gt_classes)
+            dxa, dya, dza = anchor[..., 0], anchor[..., 1], anchor[..., 2]
+            diagonal = jnp.sqrt(dxa ** 2 + dya ** 2)
+            xt = (xg - xa) / diagonal
+            yt = (yg - ya) / diagonal
+            zt = (zg - za) / dza
+            dxt = jnp.log(dxg / dxa)
+            dyt = jnp.log(dyg / dya)
+            dzt = jnp.log(dzg / dza)
+        else:
+            xt, yt, zt = xg - xa, yg - ya, zg - za
+            dxt, dyt, dzt = jnp.log(dxg), jnp.log(dyg), jnp.log(dzg)
+        return jnp.stack(
+            [xt, yt, zt, dxt, dyt, dzt, jnp.cos(rg), jnp.sin(rg), *extra], axis=-1)
+
+    def decode(self, box_encodings, points, pred_classes=None):
+        xt, yt, zt, dxt, dyt, dzt = [box_encodings[..., i] for i in range(6)]
+        cost, sint = box_encodings[..., 6], box_encodings[..., 7]
+        xa, ya, za = [points[..., i] for i in range(3)]
+        if self.use_mean_size:
+            anchor = self._anchor_size(pred_classes)
+            dxa, dya, dza = anchor[..., 0], anchor[..., 1], anchor[..., 2]
+            diagonal = jnp.sqrt(dxa ** 2 + dya ** 2)
+            xg = xt * diagonal + xa
+            yg = yt * diagonal + ya
+            zg = zt * dza + za
+            dxg = jnp.exp(dxt) * dxa
+            dyg = jnp.exp(dyt) * dya
+            dzg = jnp.exp(dzt) * dza
+        else:
+            xg, yg, zg = xt + xa, yt + ya, zt + za
+            dxg, dyg, dzg = jnp.exp(dxt), jnp.exp(dyt), jnp.exp(dzt)
+        rg = jnp.arctan2(sint, cost)
+        return jnp.stack([xg, yg, zg, dxg, dyg, dzg, rg], axis=-1)
+
+
+_CODERS = {
+    'ResidualCoder': ResidualCoder,
+    'PointResidualCoder': PointResidualCoder,
+    'PointResidual_BinOri_Coder': PointResidualBinOriCoder,
+    'PointResidualBinOriCoder': PointResidualBinOriCoder,
+}
+
+
+def build_box_coder(name, **kwargs):
+    return _CODERS[name](**kwargs)

@@ -1,0 +1,50 @@
+import numpy as np
+import jax.numpy as jnp
+
+from spsnet_tpu import ops
+from tests.reference_impls import fps_ref, fps_with_dist_ref
+
+
+def test_fps_matches_cuda_semantics():
+    rng = np.random.default_rng(0)
+    xyz = rng.normal(size=(3, 128, 3)).astype(np.float32)
+    got = np.asarray(ops.farthest_point_sample(jnp.asarray(xyz), 32))
+    want = fps_ref(xyz, 32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fps_first_index_zero():
+    rng = np.random.default_rng(1)
+    xyz = rng.normal(size=(2, 64, 3)).astype(np.float32)
+    got = np.asarray(ops.farthest_point_sample(jnp.asarray(xyz), 8))
+    assert (got[:, 0] == 0).all()
+
+
+def test_fps_with_valid_mask_never_selects_padding():
+    rng = np.random.default_rng(2)
+    xyz = rng.normal(size=(2, 64, 3)).astype(np.float32)
+    mask = np.ones((2, 64), dtype=bool)
+    mask[:, 48:] = False
+    xyz[:, 48:] = 100.0  # far away padding that unmasked FPS would love
+    got = np.asarray(ops.farthest_point_sample(jnp.asarray(xyz), 16,
+                                               valid_mask=jnp.asarray(mask)))
+    assert got.max() < 48
+
+
+def test_fps_with_dist():
+    rng = np.random.default_rng(3)
+    xyz = rng.normal(size=(2, 96, 3)).astype(np.float32)
+    dmat = np.linalg.norm(xyz[:, :, None] - xyz[:, None, :], axis=-1) ** 2
+    got = np.asarray(ops.farthest_point_sample_with_dist(
+        jnp.asarray(dmat.astype(np.float32)), 24))
+    want = fps_with_dist_ref(dmat, 24)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_calc_square_dist():
+    rng = np.random.default_rng(4)
+    a = rng.normal(size=(2, 10, 3)).astype(np.float32)
+    b = rng.normal(size=(2, 7, 3)).astype(np.float32)
+    got = np.asarray(ops.calc_square_dist(jnp.asarray(a), jnp.asarray(b)))
+    want = ((a[:, :, None] - b[:, None]) ** 2).sum(-1)
+    np.testing.assert_allclose(got, want, atol=1e-4)
