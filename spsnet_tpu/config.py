@@ -144,6 +144,74 @@ def log_config_to_file(config: EDict, pre='cfg', logger=None):
             logger.info('%s.%s: %s', pre, key, val)
 
 
+class StaticConfig:
+    """Immutable, hashable config wrapper for flax module attributes.
+
+    linen converts plain dict attributes to ``FrozenDict`` (losing attribute
+    access); wrapping keeps ``cfg.KEY`` / ``cfg.get`` working and makes the
+    config hashable so modules stay comparable. Nested dicts are wrapped on
+    access.
+    """
+
+    __slots__ = ('_d', '_key')
+
+    def __init__(self, d):
+        if isinstance(d, StaticConfig):
+            d = d._d
+        object.__setattr__(self, '_d', EDict(d))
+        object.__setattr__(self, '_key', repr(sorted(self._d.to_dict().items(),
+                                                     key=lambda kv: str(kv[0]))))
+
+    @staticmethod
+    def _wrap(v):
+        if isinstance(v, dict):
+            return StaticConfig(v)
+        return v
+
+    def __getattr__(self, name):
+        try:
+            return self._wrap(self._d[name])
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __getitem__(self, name):
+        return self._wrap(self._d[name])
+
+    def get(self, name, default=None):
+        v = self._d.get(name, default)
+        return self._wrap(v)
+
+    def __contains__(self, name):
+        return name in self._d
+
+    def keys(self):
+        return self._d.keys()
+
+    def items(self):
+        return ((k, self._wrap(v)) for k, v in self._d.items())
+
+    def __iter__(self):
+        return iter(self._d)
+
+    def __len__(self):
+        return len(self._d)
+
+    def __setattr__(self, name, value):
+        raise AttributeError('StaticConfig is immutable')
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, StaticConfig) and self._key == other._key
+
+    def __repr__(self):
+        return f'StaticConfig({self._d!r})'
+
+    def to_dict(self):
+        return self._d.to_dict()
+
+
 cfg = EDict()
 cfg.ROOT_DIR = str(Path(__file__).resolve().parent.parent)
 cfg.LOCAL_RANK = 0

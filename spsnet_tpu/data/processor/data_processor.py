@@ -1,0 +1,138 @@
+"""Processor queue producing FIXED-SHAPE point tensors.
+
+Parity: ``pcdet/datasets/processor/data_processor.py``. The near/far
+``sample_points`` rule (keep all far >=40 m points, random-choice near ones to
+reach exactly N, ``:218-253``) is what makes point detectors batchable at a
+static shape — the cornerstone of the TPU design.
+
+Intentionally fixed here (SURVEY.md §2.8): the reference masks ``fake_labels``
+with ``sem_labels[mask]`` in ``mask_points_and_boxes_outside_range``
+(``data_processor.py:87-88``, copy-paste bug) — we mask with the point mask.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+from ...utils.box_utils import mask_boxes_outside_range_numpy
+
+
+def points_in_boxes_cpu_np(points, boxes):
+    """(N, 3) x (T, 7) -> (T, N) 0/1 indicator (parity:
+    ``points_in_boxes_cpu``, ``roiaware_pool3d_kernel.cu`` CPU path)."""
+    if boxes.shape[0] == 0:
+        return np.zeros((0, points.shape[0]), dtype=np.int32)
+    shift = points[None, :, :3] - boxes[:, None, :3]
+    cosa = np.cos(-boxes[:, 6])[:, None]
+    sina = np.sin(-boxes[:, 6])[:, None]
+    lx = shift[..., 0] * cosa - shift[..., 1] * sina
+    ly = shift[..., 0] * sina + shift[..., 1] * cosa
+    inside = ((np.abs(shift[..., 2]) <= boxes[:, None, 5] / 2.0) &
+              (np.abs(lx) < boxes[:, None, 3] / 2.0 + 1e-5) &
+              (np.abs(ly) < boxes[:, None, 4] / 2.0 + 1e-5))
+    return inside.astype(np.int32)
+
+
+class DataProcessor:
+    def __init__(self, processor_configs, point_cloud_range, training,
+                 num_point_features=4):
+        self.point_cloud_range = np.asarray(point_cloud_range, dtype=np.float32)
+        self.training = training
+        self.num_point_features = num_point_features
+        self.mode = 'train' if training else 'test'
+        self.grid_size = self.voxel_size = None
+        self.data_processor_queue = []
+        for cur_cfg in processor_configs:
+            cur_processor = getattr(self, cur_cfg.NAME)(config=cur_cfg)
+            self.data_processor_queue.append(cur_processor)
+
+    def mask_points_and_boxes_outside_range(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.mask_points_and_boxes_outside_range, config=config)
+        points = data_dict.get('points', None)
+        if points is not None:
+            pcr = self.point_cloud_range
+            mask = ((points[:, 0] >= pcr[0]) & (points[:, 0] <= pcr[3]) &
+                    (points[:, 1] >= pcr[1]) & (points[:, 1] <= pcr[4]))
+            data_dict['points'] = points[mask]
+            for key in ('sem_labels', 'fake_labels'):
+                if data_dict.get(key, None) is not None:
+                    data_dict[key] = data_dict[key][mask]
+        if data_dict.get('gt_boxes', None) is not None and \
+                config.get('REMOVE_OUTSIDE_BOXES', False) and self.training:
+            box_mask = mask_boxes_outside_range_numpy(
+                data_dict['gt_boxes'], self.point_cloud_range,
+                min_num_corners=config.get('min_num_corners', 1))
+            data_dict['gt_boxes'] = data_dict['gt_boxes'][box_mask]
+        return data_dict
+
+    def shuffle_points(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.shuffle_points, config=config)
+        if config.SHUFFLE_ENABLED[self.mode]:
+            idx = np.random.permutation(data_dict['points'].shape[0])
+            data_dict['points'] = data_dict['points'][idx]
+            for key in ('sem_labels', 'fake_labels'):
+                if data_dict.get(key, None) is not None:
+                    data_dict[key] = data_dict[key][idx]
+        return data_dict
+
+    def add_fake_sem_label(self, data_dict=None, config=None):
+        """Per-point class id from gt boxes (parity: ``data_processor.py:127-143``)."""
+        if data_dict is None:
+            return partial(self.add_fake_sem_label, config=config)
+        points = data_dict['points']
+        gt_boxes = data_dict.get('gt_boxes', np.zeros((0, 8), dtype=np.float32))
+        fake_labels = np.zeros(points.shape[0], dtype=np.int32)
+        if gt_boxes.shape[0] > 0:
+            indicator = points_in_boxes_cpu_np(points[:, :3], gt_boxes[:, :7])
+            box_mask = indicator.sum(axis=0) > 0
+            box_idx = np.argmax(indicator, axis=0)
+            fake_labels[box_mask] = gt_boxes[box_idx[box_mask], -1].astype(np.int32)
+        data_dict['fake_labels'] = fake_labels
+        return data_dict
+
+    def sample_points(self, data_dict=None, config=None):
+        """Near/far-aware fixed-N sampling (parity: ``data_processor.py:218-253``)."""
+        if data_dict is None:
+            return partial(self.sample_points, config=config)
+        num_points = config.NUM_POINTS[self.mode]
+        if num_points == -1:
+            return data_dict
+        points = data_dict['points']
+        if num_points < len(points):
+            depth = np.linalg.norm(points[:, 0:3], axis=1)
+            near_mask = depth < 40.0
+            far_idxs = np.where(~near_mask)[0]
+            near_idxs = np.where(near_mask)[0]
+            if num_points > len(far_idxs):
+                near_choice = np.random.choice(
+                    near_idxs, num_points - len(far_idxs), replace=False)
+                choice = np.concatenate((near_choice, far_idxs)) \
+                    if len(far_idxs) > 0 else near_choice
+            else:
+                choice = np.random.choice(
+                    np.arange(len(points), dtype=np.int64), num_points,
+                    replace=False)
+            np.random.shuffle(choice)
+        else:
+            choice = np.arange(0, len(points), dtype=np.int64)
+            if num_points > len(points):
+                # pad by resampling (keeps fixed shape even for sparse frames)
+                extra = np.random.choice(choice, num_points - len(points),
+                                         replace=True) if len(points) > 0 \
+                    else np.zeros(num_points, dtype=np.int64)
+                choice = np.concatenate((choice, extra))
+            np.random.shuffle(choice)
+        data_dict['points'] = points[choice] if len(points) > 0 \
+            else np.zeros((num_points, points.shape[1]), dtype=points.dtype)
+        for key in ('sem_labels', 'fake_labels'):
+            if data_dict.get(key, None) is not None and len(points) > 0:
+                data_dict[key] = data_dict[key][choice]
+        return data_dict
+
+    def forward(self, data_dict):
+        for cur_processor in self.data_processor_queue:
+            data_dict = cur_processor(data_dict=data_dict)
+        return data_dict

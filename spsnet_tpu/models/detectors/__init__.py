@@ -10,5 +10,7 @@ _DETECTORS = {
 
 
 def build_detector(model_cfg, num_class, dataset=None, **kwargs):
+    from ...config import StaticConfig
+    model_cfg = StaticConfig(model_cfg)
     cls = _DETECTORS[model_cfg.NAME]
     return cls(model_cfg=model_cfg, num_class=num_class, **kwargs)

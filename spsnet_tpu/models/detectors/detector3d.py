@@ -17,7 +17,8 @@ from ... import ops
 
 
 @functools.partial(jax.jit, static_argnames=('score_thresh', 'nms_thresh',
-                                             'nms_pre', 'nms_post'))
+                                             'nms_pre', 'nms_post',
+                                             'cls_preds_normalized'))
 def class_agnostic_nms_batch(batch_box_preds, batch_cls_preds,
                              score_thresh: float, nms_thresh: float,
                              nms_pre: int, nms_post: int,
