@@ -1,0 +1,70 @@
+"""Benchmark: IA-SSD KITTI inference scenes/sec on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline context (BASELINE.md): reference emits sec_per_example on an A100;
+the north star is >2x A100 scenes/sec per chip. A100 IA-SSD inference is
+~12ms/scene (~83 scenes/s) in the PyTorch reference era; vs_baseline is
+computed against that figure.
+"""
+import json
+import time
+
+import numpy as np
+
+A100_REFERENCE_SCENES_PER_SEC = 83.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from spsnet_tpu.models import build_detector
+    from spsnet_tpu.models.detectors.detector3d import class_agnostic_nms_batch
+    from spsnet_tpu.zoo import iassd_kitti_cfg
+
+    cfg = iassd_kitti_cfg()
+    model = build_detector(cfg.MODEL, num_class=len(cfg.CLASS_NAMES))
+
+    B, N = 8, 16384
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-35, 35, size=(B, N, 4)).astype(np.float32)
+    pts[..., 3] = rng.uniform(0, 1, size=(B, N))
+    points = jnp.asarray(pts)
+
+    variables = model.init(jax.random.PRNGKey(0), {'points': points[:1]},
+                           train=False)
+
+    post = cfg.MODEL.POST_PROCESSING
+
+    @jax.jit
+    def infer(variables, points):
+        out = model.apply(variables, {'points': points}, train=False)
+        dets = class_agnostic_nms_batch(
+            out['batch_box_preds'], out['batch_cls_preds'],
+            score_thresh=float(post.SCORE_THRESH),
+            nms_thresh=float(post.NMS_CONFIG.NMS_THRESH),
+            nms_pre=int(post.NMS_CONFIG.NMS_PRE_MAXSIZE),
+            nms_post=int(post.NMS_CONFIG.NMS_POST_MAXSIZE))
+        return dets
+
+    # warmup + compile
+    dets = infer(variables, points)
+    jax.block_until_ready(dets)
+
+    iters = 20
+    t0 = time.time()
+    for _ in range(iters):
+        dets = infer(variables, points)
+    jax.block_until_ready(dets)
+    dt = time.time() - t0
+    scenes_per_sec = B * iters / dt
+
+    print(json.dumps({
+        'metric': 'IA-SSD KITTI inference scenes/sec/chip (B=8, N=16384, incl. NMS)',
+        'value': round(scenes_per_sec, 2),
+        'unit': 'scenes/sec',
+        'vs_baseline': round(scenes_per_sec / A100_REFERENCE_SCENES_PER_SEC, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

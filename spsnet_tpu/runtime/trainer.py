@@ -1,0 +1,204 @@
+"""Training/eval runtime: jitted SPMD train step, epoch loop, eval harness.
+
+Parity targets: ``tools/train.py`` + ``tools/train_utils/train_utils.py``
+(epoch loop, per-iter LR stepping, grad-clip, checkpoint ring buffer,
+auto-resume) and ``tools/eval_utils/eval_utils.py`` (batched inference,
+recall accumulation, det-annos generation, dataset.evaluation). The DDP
+machinery disappears: one jit over a data mesh; XLA inserts the gradient
+reductions.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..models.dense_heads.iassd_head import iassd_head_loss
+from ..models.detectors.detector3d import generate_recall_record, post_processing
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from .checkpoint import CheckpointManager
+from .optimization import build_optimizer
+
+DEVICE_BATCH_KEYS = ('points', 'gt_boxes', 'fake_labels', 'sem_labels', 'stds')
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def device_batch(batch):
+    return {k: batch[k] for k in DEVICE_BATCH_KEYS if k in batch}
+
+
+def make_loss_fn(model_cfg, num_class) -> Callable:
+    """Pure loss fn(batch_out) -> (loss, tb) built from static config."""
+    from ..utils.box_coder import build_box_coder
+    head_cfg = model_cfg.POINT_HEAD
+    coder = build_box_coder(head_cfg.TARGET_CONFIG.BOX_CODER,
+                            **dict(head_cfg.TARGET_CONFIG.BOX_CODER_CONFIG))
+    loss_cfg = head_cfg.LOSS_CONFIG
+    sa_list = loss_cfg.get('SAMPLE_METHOD_LIST', None)
+    if sa_list is None:
+        sa_list = model_cfg.BACKBONE_3D.SA_CONFIG.SAMPLE_METHOD_LIST
+    sa_cness = head_cfg.NAME != 'MLT_SSD_Head'
+
+    def loss_fn(out):
+        return iassd_head_loss(out['head_ret'], loss_cfg, num_class, coder,
+                               sa_centerness_mask=sa_cness,
+                               sample_method_list=sa_list)
+    return loss_fn
+
+
+def make_train_step(model, loss_fn, tx):
+    def train_step(state: TrainState, batch):
+        def compute(params):
+            out, mut = model.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                batch, train=True, mutable=['batch_stats'])
+            loss, tb = loss_fn(out)
+            return loss, (tb, mut['batch_stats'])
+
+        (loss, (tb, new_bs)), grads = jax.value_and_grad(
+            compute, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+        new_state = TrainState(params=new_params, batch_stats=new_bs,
+                               opt_state=new_opt, step=state.step + 1)
+        metrics = {'loss': loss}
+        metrics.update(tb)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model, post_cfg):
+    def eval_step(params, batch_stats, batch):
+        out = model.apply({'params': params, 'batch_stats': batch_stats},
+                          batch, train=False)
+        dets = post_processing(out, post_cfg)
+        return dets, out['batch_box_preds']
+
+    return jax.jit(eval_step)
+
+
+class Trainer:
+    def __init__(self, cfg, model, output_dir, logger=None,
+                 total_iters_each_epoch=None, mesh=None):
+        self.cfg = cfg
+        self.model = model
+        self.logger = logger
+        self.output_dir = Path(output_dir)
+        self.ckpt = CheckpointManager(
+            self.output_dir / 'ckpt',
+            max_to_keep=int(cfg.OPTIMIZATION.get('MAX_CKPT_SAVE_NUM', 20)))
+        self.mesh = mesh or make_mesh()
+        self.total_epochs = int(cfg.OPTIMIZATION.NUM_EPOCHS)
+        self.total_iters_each_epoch = total_iters_each_epoch
+        self.tx = build_optimizer(cfg.OPTIMIZATION, total_iters_each_epoch,
+                                  self.total_epochs)
+        num_class = len(cfg.CLASS_NAMES)
+        self.loss_fn = make_loss_fn(cfg.MODEL, num_class)
+        self.train_step = make_train_step(model, self.loss_fn, self.tx)
+        self.eval_step = make_eval_step(model, cfg.MODEL.POST_PROCESSING)
+
+    def init_state(self, example_batch, seed=42):
+        variables = self.model.init(
+            jax.random.PRNGKey(seed), device_batch(example_batch), train=False)
+        params = variables['params']
+        batch_stats = variables.get('batch_stats', {})
+        opt_state = self.tx.init(params)
+        state = TrainState(params=params, batch_stats=batch_stats,
+                           opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+        rep = replicate(self.mesh)
+        return jax.device_put(state, rep)
+
+    def maybe_resume(self, state):
+        restored, step = self.ckpt.restore(jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
+            if hasattr(x, 'dtype') else x, state))
+        if restored is None:
+            return state, 0
+        if self.logger:
+            self.logger.info('auto-resumed from epoch %d', step)
+        return jax.device_put(restored, replicate(self.mesh)), step
+
+    def train(self, train_loader, sampler=None, start_epoch=0, state=None,
+              log_every=50):
+        assert state is not None, 'call init_state first'
+        for epoch in range(start_epoch, self.total_epochs):
+            if sampler is not None:
+                sampler.set_epoch(epoch)
+            t0 = time.time()
+            n_iter = 0
+            last_metrics = {}
+            for batch in train_loader:
+                db = shard_batch(device_batch(batch), self.mesh)
+                state, metrics = self.train_step(state, db)
+                n_iter += 1
+                if n_iter % log_every == 0 and self.logger:
+                    last_metrics = {k: float(v) for k, v in metrics.items()}
+                    self.logger.info(
+                        'epoch %d iter %d loss %.4f (%.2f it/s)', epoch,
+                        n_iter, last_metrics['loss'],
+                        n_iter / (time.time() - t0))
+            if jax.process_index() == 0:
+                self.ckpt.save(epoch + 1, jax.device_get(state))
+            if self.logger:
+                self.logger.info('epoch %d done in %.1fs', epoch,
+                                 time.time() - t0)
+        return state
+
+    def evaluate(self, dataset, eval_loader, state, class_names,
+                 save_to_file=False, result_dir=None):
+        """Full-dataset eval: inference -> det annos -> dataset.evaluation
+        (parity: ``eval_utils.eval_one_epoch``)."""
+        det_annos = []
+        recall_dict = {}
+        thresh_list = list(self.cfg.MODEL.POST_PROCESSING.RECALL_THRESH_LIST)
+        t0 = time.time()
+        n_frames = 0
+        for batch in eval_loader:
+            db = shard_batch(device_batch(batch), self.mesh)
+            dets, _ = self.eval_step(state.params, state.batch_stats, db)
+            dets = jax.device_get(dets)
+            B = dets['boxes'].shape[0]
+            n_frames += B
+            pred_dicts = []
+            for b in range(B):
+                cnt = int(dets['count'][b])
+                pred_dicts.append({
+                    'pred_boxes': dets['boxes'][b, :cnt],
+                    'pred_scores': dets['scores'][b, :cnt],
+                    'pred_labels': dets['labels'][b, :cnt],
+                })
+                if 'gt_boxes' in batch:
+                    rec = generate_recall_record(
+                        jnp.asarray(dets['boxes'][b]),
+                        jnp.asarray(dets['count'][b]),
+                        jnp.asarray(batch['gt_boxes'][b]),
+                        thresh_list=thresh_list)
+                    for k, v in rec.items():
+                        recall_dict[k] = recall_dict.get(k, 0) + int(v)
+            annos = dataset.generate_prediction_dicts(
+                batch, pred_dicts, class_names,
+                output_path=result_dir if save_to_file else None)
+            det_annos.extend(annos)
+        sec_per_example = (time.time() - t0) / max(n_frames, 1)
+        if self.logger:
+            self.logger.info('eval: %.4f sec/example', sec_per_example)
+        result_str, result_dict = dataset.evaluation(det_annos, class_names)
+        gt = max(recall_dict.pop('gt', 0), 1)
+        for k, v in recall_dict.items():
+            result_dict[f'recall/{k}'] = v / gt
+        result_dict['sec_per_example'] = sec_per_example
+        return det_annos, result_str, result_dict

@@ -1,0 +1,84 @@
+"""SPSNet stability injection hook: frozen stds inference + point deletion.
+
+Rebuild of ``PAGNet_encoding`` (``backbones_2d/map_to_bev/PAGNet_encoding.py``)
+as a first-class jitted pipeline stage instead of a MAP_TO_BEV hack. The
+reference deletes exactly ``delete_number`` (hardcoded 500) points per frame:
+
+- if fg_count > 500: the 500 LOWEST-stds foreground points are deleted
+  (``topk(stds, fg-500)`` KEEPS the highest-stds fg, ``PAGNet_encoding.py:55``);
+- else: ALL foreground plus random background to reach 500 deletions
+  (``:62-64``).
+
+Both branches leave N-500 points — a fixed shape, which we exploit: one
+vectorized sort per frame replaces the per-frame python loop. Semantics are
+replicated as-is (including the surprising keep-most-unstable direction — it
+is what the shipped code does; the config knob ``DELETE_METHOD: random``
+matches the reference's alternative).
+
+The config inconsistency noted in SURVEY.md §2.7 (SPSNet.yaml disables
+``add_fake_sem_label`` but the hook requires ``fake_labels``) is resolved by
+construction: our SPSNet config keeps the processor enabled.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e9
+
+
+@functools.partial(jax.jit, static_argnames=('delete_number', 'method'))
+def stability_delete_points(points, stds, fake_labels, rng,
+                            delete_number: int = 500,
+                            method: str = 'stability'):
+    """
+    Args:
+        points: (B, N, C); stds: (B, N); fake_labels: (B, N) int (0 = bg);
+        rng: PRNGKey for the random-bg fallback / random method.
+    Returns:
+        new_points: (B, N - delete_number, C);
+        keep_idx: (B, N - delete_number) indices into N.
+    """
+    B, N, _ = points.shape
+    fg = fake_labels > 0
+
+    if method == 'stability':
+        # Deletion priority = ascending key; fg keys are stds (delete the
+        # most-stable fg first), bg keys are BIG + uniform noise so that when
+        # fg < delete_number, random bg points fill the remaining deletions.
+        noise = jax.random.uniform(rng, (B, N))
+        key = jnp.where(fg, stds, _BIG + noise)
+    elif method == 'random':
+        noise = jax.random.uniform(rng, (B, N))
+        key = jnp.where(fg, noise, _BIG + noise)
+    else:
+        raise NotImplementedError(method)
+
+    order = jnp.argsort(key, axis=-1)
+    keep_idx = order[:, delete_number:]
+    new_points = jnp.take_along_axis(points, keep_idx[..., None], axis=1)
+    return new_points, keep_idx
+
+
+def apply_stability_hook(generator_apply, generator_vars, batch, rng,
+                         delete_number: int = 500, method: str = 'stability'):
+    """Run the frozen stability model and the delete stage; returns an updated
+    batch with 'points' (B, N-delete, C) and 'stds' gathered to the kept set.
+    """
+    ret = generator_apply(generator_vars, batch, train=False)
+    stds = ret['stds']
+    new_points, keep_idx = stability_delete_points(
+        batch['points'], stds, batch['fake_labels'], rng,
+        delete_number=delete_number, method=method)
+    out = dict(batch)
+    out['points'] = new_points
+    out['stds'] = jnp.take_along_axis(stds, keep_idx, axis=1)
+    if 'fake_labels' in out:
+        out['fake_labels'] = jnp.take_along_axis(
+            batch['fake_labels'], keep_idx, axis=1)
+    if 'sem_labels' in batch:
+        out['sem_labels'] = jnp.take_along_axis(
+            batch['sem_labels'], keep_idx, axis=1)
+    return out

@@ -1,0 +1,67 @@
+"""Integration: few-step training on synthetic frames over the virtual
+8-device CPU mesh (exercises batch sharding + implicit grad reduction), plus
+checkpoint save/restore."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from spsnet_tpu.config import EDict
+from spsnet_tpu.models import build_detector
+from spsnet_tpu.parallel.mesh import make_mesh
+from spsnet_tpu.runtime.trainer import Trainer, device_batch
+from spsnet_tpu.zoo import tiny_iassd_cfg, tiny_optimization_cfg
+from tests.test_model_iassd import synthetic_batch
+
+
+def full_cfg():
+    return EDict({
+        'CLASS_NAMES': ['Car', 'Pedestrian', 'Cyclist'],
+        'MODEL': tiny_iassd_cfg(),
+        'OPTIMIZATION': tiny_optimization_cfg(),
+    })
+
+
+class FakeLoader:
+    def __init__(self, n_batches, batch_size):
+        self.rng = np.random.default_rng(0)
+        self.n = n_batches
+        self.bs = batch_size
+
+    def __iter__(self):
+        for _ in range(self.n):
+            yield {k: np.asarray(v) for k, v in
+                   synthetic_batch(self.rng, B=self.bs, N=256, T=5).items()}
+
+    def __len__(self):
+        return self.n
+
+
+@pytest.mark.slow
+def test_train_steps_and_checkpoint(tmp_path):
+    assert jax.device_count() == 8
+    cfg = full_cfg()
+    model = build_detector(cfg.MODEL, num_class=3)
+    mesh = make_mesh()
+    trainer = Trainer(cfg, model, tmp_path, total_iters_each_epoch=3,
+                      mesh=mesh)
+    loader = FakeLoader(3, 8)
+    example = next(iter(loader))
+    state = trainer.init_state(example)
+
+    losses = []
+    for batch in loader:
+        from spsnet_tpu.parallel.mesh import shard_batch
+        db = shard_batch(device_batch(batch), mesh)
+        state, metrics = trainer.train_step(state, db)
+        losses.append(float(metrics['loss']))
+    assert all(np.isfinite(l) for l in losses)
+    assert int(state.step) == 3
+
+    # checkpoint roundtrip
+    trainer.ckpt.save(1, jax.device_get(state))
+    state2, step = trainer.maybe_resume(trainer.init_state(example))
+    assert step == 1
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state2.params)[0]), atol=1e-6)
