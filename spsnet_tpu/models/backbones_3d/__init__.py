@@ -3,6 +3,7 @@ from .pointnet2_backbone import PointNet2MSG
 
 __all__ = {
     'IASSD_Backbone': IASSDBackbone,
+    'PAGNet_Backbone': IASSDBackbone,  # same class; USE_SURFACE/stds via config
     'PointNet2MSG': PointNet2MSG,
 }
 

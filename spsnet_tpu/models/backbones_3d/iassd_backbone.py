@@ -17,10 +17,18 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ... import ops
 from ..sa_module import SAModuleMSGWithSampling, VoteLayer
+from ..surface_feature import FeatureExtraction
 
 
 class IASSDBackbone(nn.Module):
+    """Also serves as ``PAGNet_Backbone`` (``backbones_3d/PAGNet_backbone.py``)
+    when ``SA_CONFIG.USE_SURFACE`` is set: a DenseEdgeConv 60-d surface
+    descriptor is computed on the raw cloud, gathered along the sampling chain
+    of SA layers 0-3 (``PAGNet_backbone.py:152-158``), and fed to the vote
+    layer as extra features; per-point ``stds`` (SPSNet stability) thread
+    through every SA call."""
     model_cfg: Any
     num_class: int
     input_channels: int
@@ -85,6 +93,10 @@ class IASSDBackbone(nn.Module):
             channel_out_list.append(channel_out)
         self.sa_modules = modules
         self.num_point_features = channel_out
+        if sa_cfg.get('USE_SURFACE', False):
+            self.sf_extract = FeatureExtraction(name='sf_extract')
+        else:
+            self.sf_extract = None
 
     def __call__(self, batch, train: bool = True):
         """
@@ -103,6 +115,7 @@ class IASSDBackbone(nn.Module):
         encoder_xyz, encoder_features, sa_ins_preds = [xyz], [features], []
         li_cls_pred = None
         centers = centers_origin = ctr_offsets = None
+        surface_feature = None
         for i, module in enumerate(self.sa_modules):
             xyz_input = encoder_xyz[self.layer_inputs[i]]
             feat_input = encoder_features[self.layer_inputs[i]]
@@ -110,13 +123,18 @@ class IASSDBackbone(nn.Module):
             if self.layer_types[i] == 'SA_Layer':
                 ctr_xyz = (encoder_xyz[self.ctr_idx_list[i]]
                            if self.ctr_idx_list[i] != -1 else None)
-                li_xyz, li_features, li_cls_pred, _, stds = module(
+                li_xyz, li_features, li_cls_pred, sampled_idx, stds = module(
                     xyz_input, feat_input, li_cls_pred, ctr_xyz=ctr_xyz,
                     stds=stds, train=train)
+                if self.sf_extract is not None and i <= 3:
+                    if i == 0:
+                        surface_feature = self.sf_extract(xyz)
+                    surface_feature = ops.gather_points(
+                        surface_feature, sampled_idx)
             else:  # Vote_Layer
                 li_xyz, li_features, xyz_select, ctr_offsets = module(
                     xyz_input, feat_input,
-                    surface_features=batch.get('center_surface_features', None),
+                    surface_features=surface_feature,
                     train=train)
                 centers = li_xyz
                 centers_origin = xyz_select

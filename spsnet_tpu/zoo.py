@@ -108,6 +108,23 @@ def tiny_iassd_cfg() -> EDict:
     return cfg
 
 
+def tiny_spsnet_cfg() -> EDict:
+    """Tiny SPSNet-IA: PAGNet backbone (surface features + stds threading),
+    sss_aware samplers, MLT head."""
+    cfg = tiny_iassd_cfg()
+    cfg.NAME = 'SPSNet'
+    sa = cfg.BACKBONE_3D.SA_CONFIG
+    cfg.BACKBONE_3D.NAME = 'PAGNet_Backbone'
+    sa.SAMPLE_METHOD_LIST = [['D-FPS'], ['D-FPS'], ['sss_aware'],
+                             ['sss_aware'], [], []]
+    sa.SS_RADIUS_LIST = [[0.05], [0.2], [0.4], [0.8], [], []]
+    sa.SS_NSAMPLE_LIST = [[4], [4], [4], [4], [], []]
+    sa.USE_SURFACE = True
+    cfg.POINT_HEAD.NAME = 'MLT_SSD_Head'
+    cfg.POINT_HEAD.LOSS_CONFIG.SAMPLE_METHOD_LIST = sa.SAMPLE_METHOD_LIST
+    return cfg
+
+
 def tiny_optimization_cfg() -> EDict:
     return EDict({
         'BATCH_SIZE_PER_GPU': 8, 'NUM_EPOCHS': 2,
