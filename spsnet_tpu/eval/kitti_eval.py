@@ -16,6 +16,13 @@ import numpy as np
 
 from .rotate_iou import d3_box_overlap, image_box_overlap, rotate_iou_eval
 
+try:  # native C++ fast path (spsnet_tpu/native); numpy fallback otherwise
+    from ..native import (compute_statistics_native, d3_box_overlap_native,
+                          get_lib, rotate_iou_eval_native)
+    _NATIVE = get_lib() is not None
+except Exception:
+    _NATIVE = False
+
 CLASS_NAMES = ['car', 'pedestrian', 'cyclist', 'van', 'person_sitting',
                'truck']
 MIN_HEIGHT = [40, 25, 25]
@@ -94,6 +101,11 @@ def compute_statistics(overlaps, gt_datas, dt_datas, ignored_gt, ignored_det,
 
     overlaps: (num_dt, num_gt); gt_datas (num_gt, 5); dt_datas (num_dt, 6).
     """
+    if _NATIVE:
+        return compute_statistics_native(
+            overlaps, gt_datas, dt_datas, ignored_gt, ignored_det, dc_bboxes,
+            metric, min_overlap, thresh=thresh, compute_fp=compute_fp,
+            compute_aos=compute_aos)
     det_size = dt_datas.shape[0]
     gt_size = gt_datas.shape[0]
     dt_scores = dt_datas[:, -1]
@@ -198,7 +210,8 @@ def _prepare_image_data(gt_annos, dt_annos, metric):
                 [loc_g[:, [0, 2]], dim_g[:, [0, 2]], rot_g[:, None]], axis=1)
             dt_bev = np.concatenate(
                 [loc_d[:, [0, 2]], dim_d[:, [0, 2]], rot_d[:, None]], axis=1)
-            ov = rotate_iou_eval(dt_bev, gt_bev, criterion=-1)
+            fn_bev = rotate_iou_eval_native if _NATIVE else rotate_iou_eval
+            ov = fn_bev(dt_bev, gt_bev, criterion=-1)
         else:
             gt_boxes = np.concatenate(
                 [np.asarray(gt['location']).reshape(-1, 3),
@@ -209,7 +222,8 @@ def _prepare_image_data(gt_annos, dt_annos, metric):
                  np.asarray(dt['dimensions']).reshape(-1, 3)[:, [0, 1, 2]],
                  np.asarray(dt['rotation_y']).reshape(-1, 1)], axis=1)
             # reorder to [x, y, z, l, h, w, ry]: dims stored as l, h, w already
-            ov = d3_box_overlap(dt_boxes, gt_boxes, criterion=-1)
+            fn_3d = d3_box_overlap_native if _NATIVE else d3_box_overlap
+            ov = fn_3d(dt_boxes, gt_boxes, criterion=-1)
         overlaps.append(ov)
     return overlaps
 
