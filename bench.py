@@ -15,6 +15,11 @@ A100_REFERENCE_SCENES_PER_SEC = 83.0
 
 
 def main():
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from spsnet_tpu.utils.jax_setup import setup_jax
+    setup_jax()
     import jax
     import jax.numpy as jnp
     from spsnet_tpu.models import build_detector

@@ -41,54 +41,67 @@ def _bev_corners(boxes):
     return rot + boxes[..., None, 0:2]
 
 
-def _cross2(o, a, b):
-    return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) \
-        - (a[..., 1] - o[..., 1]) * (b[..., 0] - o[..., 0])
-
-
-def _clip_poly_halfplane(poly, cnt, e1, e2):
-    """Clip (K, 2) polygon (cnt valid CCW vertices) by half-plane left of e1->e2."""
-    K = poly.shape[0]
-    idx = jnp.arange(K)
-    nxt_idx = jnp.where(idx + 1 >= cnt, 0, idx + 1)
-    cur = poly
-    nxt = poly[nxt_idx]
-    f_cur = _cross2(e1, e2, cur)
-    f_nxt = _cross2(e1, e2, nxt)
-    in_cur = f_cur >= 0
-    in_nxt = f_nxt >= 0
-    valid_vtx = idx < cnt
-
-    denom = f_cur - f_nxt
-    safe = jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
-    s = (f_cur / safe)[..., None]
-    inter = cur + s * (nxt - cur)
-
-    # Emission slots: 2i -> cur (if inside), 2i+1 -> crossing point.
-    emit_pts = jnp.stack([cur, inter], axis=1).reshape(2 * K, 2)
-    emit_ok = jnp.stack([in_cur & valid_vtx,
-                         (in_cur != in_nxt) & valid_vtx], axis=1).reshape(2 * K)
-    pos = jnp.cumsum(emit_ok) - 1
-    pos = jnp.where(emit_ok, pos, 2 * K)
-    out = jnp.zeros((K, 2), dtype=poly.dtype).at[pos].set(emit_pts, mode='drop')
-    return out, jnp.sum(emit_ok).astype(jnp.int32)
-
-
-def _poly_area(poly, cnt):
-    K = poly.shape[0]
-    idx = jnp.arange(K)
-    nxt_idx = jnp.where(idx + 1 >= cnt, 0, idx + 1)
-    cross = poly[:, 0] * poly[nxt_idx, 1] - poly[nxt_idx, 0] * poly[:, 1]
-    return 0.5 * jnp.abs(jnp.sum(jnp.where(idx < cnt, cross, 0.0)))
-
-
 def _quad_overlap(ca, cb):
-    """Overlap area of two CCW quads (4, 2) x (4, 2)."""
-    poly = jnp.zeros((_CLIP_BUF, 2), dtype=ca.dtype).at[:4].set(ca)
-    cnt = jnp.int32(4)
-    for k in range(4):
-        poly, cnt = _clip_poly_halfplane(poly, cnt, cb[k], cb[(k + 1) % 4])
-    return jnp.where(cnt >= 3, _poly_area(poly, cnt), 0.0)
+    """Overlap area of two CCW quads (4, 2) x (4, 2), branch-free.
+
+    Candidate-point formulation (same mathematics as the CUDA polygon clip,
+    ``iou3d_nms_kernel.cu:51-104``): corners of each quad inside the other
+    (8) + all edge-pair intersections (16) -> 24 masked candidates, sorted by
+    angle around their centroid, shoelace over the valid fan. Uses one sort
+    instead of nested scatters — compiles orders of magnitude faster under
+    vmap^2 and runs as plain VPU code.
+    """
+    # corners-inside tests: point p left of every CCW edge. Tolerance is
+    # scaled by edge length (~0.1 mm in metric space) so shared boundaries
+    # (identical/touching boxes) count as inside despite fp32 rounding.
+    def inside(points, quad):          # (P, 2) x (4, 2) -> (P,)
+        e1 = quad                       # (4, 2)
+        e2 = jnp.roll(quad, -1, axis=0)
+        d = e2 - e1                     # (4, 2)
+        edge_len = jnp.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2)
+        rel = points[:, None, :] - e1[None, :, :]       # (P, 4, 2)
+        cross = d[None, :, 0] * rel[..., 1] - d[None, :, 1] * rel[..., 0]
+        return jnp.all(cross >= -1e-4 * edge_len[None, :], axis=-1)
+
+    in_ab = inside(ca, cb)             # (4,)
+    in_ba = inside(cb, ca)             # (4,)
+
+    # 16 edge-pair intersections
+    a1 = ca[:, None, :]                # (4, 1, 2)
+    a2 = jnp.roll(ca, -1, axis=0)[:, None, :]
+    b1 = cb[None, :, :]                # (1, 4, 2)
+    b2 = jnp.roll(cb, -1, axis=0)[None, :, :]
+
+    def cross2(u, v):
+        return u[..., 0] * v[..., 1] - u[..., 1] * v[..., 0]
+
+    d1 = cross2(b2 - b1, a1 - b1)
+    d2 = cross2(b2 - b1, a2 - b1)
+    d3 = cross2(a2 - a1, b1 - a1)
+    d4 = cross2(a2 - a1, b2 - a1)
+    hit = (d1 * d2 < 0) & (d3 * d4 < 0)                  # (4, 4)
+    denom = d1 - d2
+    t = d1 / jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
+    inter = a1 + t[..., None] * (a2 - a1)                # (4, 4, 2)
+
+    cand = jnp.concatenate([ca, cb, inter.reshape(16, 2)], axis=0)  # (24, 2)
+    valid = jnp.concatenate([in_ab, in_ba, hit.reshape(16)])
+
+    n_valid = jnp.sum(valid)
+    center = jnp.sum(jnp.where(valid[:, None], cand, 0.0), axis=0) \
+        / jnp.maximum(n_valid, 1)
+    ang = jnp.arctan2(cand[:, 1] - center[1], cand[:, 0] - center[0])
+    key = jnp.where(valid, ang, jnp.inf)
+    order = jnp.argsort(key)
+    sorted_pts = cand[order]
+    sorted_valid = valid[order]
+    # invalid tail slots collapse onto the first valid point: the extra
+    # edges contribute zero area and the fan still closes correctly
+    first = sorted_pts[0]
+    pts = jnp.where(sorted_valid[:, None], sorted_pts, first[None, :])
+    nxt = jnp.roll(pts, -1, axis=0)
+    area = 0.5 * jnp.abs(jnp.sum(pts[:, 0] * nxt[:, 1] - nxt[:, 0] * pts[:, 1]))
+    return jnp.where(n_valid >= 3, area, 0.0)
 
 
 @jax.jit

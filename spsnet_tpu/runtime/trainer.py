@@ -58,8 +58,14 @@ def make_loss_fn(model_cfg, num_class) -> Callable:
     return loss_fn
 
 
-def make_train_step(model, loss_fn, tx):
+def make_train_step(model, loss_fn, tx, preprocess=None):
+    """``preprocess(batch, rng) -> batch`` runs inside the jitted step (e.g.
+    the SPSNet stability hook: frozen stds inference + point deletion)."""
     def train_step(state: TrainState, batch):
+        if preprocess is not None:
+            rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+            batch = preprocess(batch, rng)
+
         def compute(params):
             out, mut = model.apply(
                 {'params': params, 'batch_stats': state.batch_stats},
@@ -81,14 +87,52 @@ def make_train_step(model, loss_fn, tx):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_eval_step(model, post_cfg):
+def make_eval_step(model, post_cfg, preprocess=None):
     def eval_step(params, batch_stats, batch):
+        if preprocess is not None:
+            batch = preprocess(batch, jax.random.PRNGKey(0))
         out = model.apply({'params': params, 'batch_stats': batch_stats},
                           batch, train=False)
         dets = post_processing(out, post_cfg)
         return dets, out['batch_box_preds']
 
     return jax.jit(eval_step)
+
+
+def make_stability_preprocess(hook_cfg, logger=None):
+    """Build the frozen-generator preprocess fn from MODEL.STABILITY_HOOK.
+
+    Loads a trained GenerateCenter checkpoint when ``CKPT`` is set; otherwise
+    initializes randomly (useful for smoke tests — a warning is logged since
+    random stds make the delete hook arbitrary).
+    """
+    import numpy as np
+    from ..config import StaticConfig
+    from ..stability.hook import apply_stability_hook
+    from ..stability.model import GenerateCenter
+
+    gen = GenerateCenter(model_cfg=StaticConfig(hook_cfg.MODEL))
+    ckpt_path = hook_cfg.get('CKPT', None)
+    if ckpt_path:
+        import orbax.checkpoint as ocp
+        gen_vars = ocp.StandardCheckpointer().restore(ckpt_path)
+    else:
+        if logger:
+            logger.warning('STABILITY_HOOK.CKPT unset: random generator init')
+        rngs = {'params': jax.random.PRNGKey(0),
+                'latent': jax.random.PRNGKey(1)}
+        n = int(hook_cfg.MODEL.SA_CONFIG.NPOINT_LIST[0][0])
+        dummy = {'points': jnp.zeros((1, n, 4), jnp.float32)}
+        gen_vars = gen.init(rngs, dummy, train=False)
+    gen_vars = jax.lax.stop_gradient(gen_vars)
+    delete_number = int(hook_cfg.get('DELETE_NUMBER', 500))
+    method = str(hook_cfg.get('DELETE_METHOD', 'stability'))
+
+    def preprocess(batch, rng):
+        return apply_stability_hook(gen.apply, gen_vars, batch, rng,
+                                    delete_number=delete_number, method=method)
+
+    return preprocess
 
 
 class Trainer:
@@ -108,12 +152,22 @@ class Trainer:
                                   self.total_epochs)
         num_class = len(cfg.CLASS_NAMES)
         self.loss_fn = make_loss_fn(cfg.MODEL, num_class)
-        self.train_step = make_train_step(model, self.loss_fn, self.tx)
-        self.eval_step = make_eval_step(model, cfg.MODEL.POST_PROCESSING)
+        preprocess = None
+        if cfg.MODEL.get('STABILITY_HOOK', None) is not None:
+            preprocess = make_stability_preprocess(
+                cfg.MODEL.STABILITY_HOOK, logger=logger)
+        self.preprocess = preprocess
+        self.train_step = make_train_step(model, self.loss_fn, self.tx,
+                                          preprocess=preprocess)
+        self.eval_step = make_eval_step(model, cfg.MODEL.POST_PROCESSING,
+                                        preprocess=preprocess)
 
     def init_state(self, example_batch, seed=42):
-        variables = self.model.init(
-            jax.random.PRNGKey(seed), device_batch(example_batch), train=False)
+        db = device_batch(example_batch)
+        db = {k: jnp.asarray(v) for k, v in db.items()}
+        if self.preprocess is not None:
+            db = self.preprocess(db, jax.random.PRNGKey(0))
+        variables = self.model.init(jax.random.PRNGKey(seed), db, train=False)
         params = variables['params']
         batch_stats = variables.get('batch_stats', {})
         opt_state = self.tx.init(params)
