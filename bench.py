@@ -35,8 +35,8 @@ def main():
     pts[..., 3] = rng.uniform(0, 1, size=(B, N))
     points = jnp.asarray(pts)
 
-    variables = model.init(jax.random.PRNGKey(0), {'points': points[:1]},
-                           train=False)
+    variables = jax.jit(model.init, static_argnames='train')(
+        jax.random.PRNGKey(0), {'points': points[:1]}, train=False)
 
     post = cfg.MODEL.POST_PROCESSING
 
@@ -55,13 +55,17 @@ def main():
     dets = infer(variables, points)
     jax.block_until_ready(dets)
 
+    # median of per-iteration blocked timings (robust to runtime hiccups)
     iters = 20
-    t0 = time.time()
+    times = []
     for _ in range(iters):
+        t0 = time.time()
         dets = infer(variables, points)
-    jax.block_until_ready(dets)
-    dt = time.time() - t0
-    scenes_per_sec = B * iters / dt
+        jax.block_until_ready(dets)
+        times.append(time.time() - t0)
+    import statistics
+    dt = statistics.median(times)
+    scenes_per_sec = B / dt
 
     print(json.dumps({
         'metric': 'IA-SSD KITTI inference scenes/sec/chip (B=8, N=16384, incl. NMS)',

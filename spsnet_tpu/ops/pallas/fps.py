@@ -1,0 +1,103 @@
+"""Farthest point sampling as a single fused Pallas kernel.
+
+Replaces the XLA ``fori_loop`` FPS (``ops/sampling.py``) with one kernel per
+batch element that keeps the running min-distance vector resident in VMEM for
+the whole M-step argmax chain — the CUDA kernel's strategy
+(``sampling_gpu.cu:93-209``: shared-memory reduction per step) mapped to the
+TPU: distance update + tree max-reduction become (R, 128) VPU ops.
+
+Semantics identical to ``farthest_point_sample``: seed index 0, ``min`` update,
+lowest-index tie-break, padding lanes never selected.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+_BIG_F = 1e10
+_BIG_I = 2 ** 30
+
+
+def _fps_kernel(nvalid_ref, x_ref, y_ref, z_ref, out_ref, dist_ref):
+    # out_ref block is (1, Mr, 128): indices are written via full-row
+    # read-modify-write (Mosaic cannot store scalars to VMEM).
+    n_valid = nvalid_ref[0]
+    R = x_ref.shape[1]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, _LANE), 0)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (R, _LANE), 1)
+    flat_ids = row_ids * _LANE + lane_ids
+    valid = flat_ids < n_valid
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+
+    dist_ref[:] = jnp.where(valid, _BIG_F, -1.0)
+
+    def write(j, val):
+        r = j // _LANE
+        c = j % _LANE
+        row = out_ref[0, pl.ds(r, 1), :]
+        out_ref[0, pl.ds(r, 1), :] = jnp.where(lane_row == c, val, row)
+
+    write(0, jnp.int32(0))
+
+    x = x_ref[0]
+    y = y_ref[0]
+    z = z_ref[0]
+
+    def body(j, carry):
+        x1, y1, z1 = carry
+        d2 = (x - x1) ** 2 + (y - y1) ** 2 + (z - z1) ** 2
+        new_dist = jnp.minimum(dist_ref[:], jnp.where(valid, d2, -1.0))
+        dist_ref[:] = new_dist
+        m = jnp.max(new_dist)
+        nxt = jnp.min(jnp.where(new_dist == m, flat_ids, jnp.int32(_BIG_I)))
+        write(j, nxt)
+        # coords of the selected point via masked sums (Mosaic cannot do
+        # dynamic scalar loads from VMEM)
+        sel = flat_ids == nxt
+        nx = jnp.sum(jnp.where(sel, x, 0.0))
+        ny = jnp.sum(jnp.where(sel, y, 0.0))
+        nz = jnp.sum(jnp.where(sel, z, 0.0))
+        return nx, ny, nz
+
+    seed = (x_ref[0, 0, 0], y_ref[0, 0, 0], z_ref[0, 0, 0])
+    jax.lax.fori_loop(1, out_ref.shape[1] * _LANE, body, seed, unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=('npoint', 'interpret'))
+def farthest_point_sample_pallas(xyz, npoint: int, interpret: bool = False):
+    """(B, N, 3) -> (B, npoint) int32; N and npoint padded to 128 lanes."""
+    B, N, _ = xyz.shape
+    pad = (-N) % _LANE
+    R = (N + pad) // _LANE
+    xyz_p = jnp.pad(xyz, ((0, 0), (0, pad), (0, 0)))
+    planes = [xyz_p[..., i].reshape(B, R, _LANE) for i in range(3)]
+    n_valid = jnp.full((1,), N, dtype=jnp.int32)
+    Mr = -(-npoint // _LANE)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, R, _LANE), lambda b, nv: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, _LANE), lambda b, nv: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, _LANE), lambda b, nv: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Mr, _LANE), lambda b, nv: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((R, _LANE), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        _fps_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Mr, _LANE), jnp.int32),
+        interpret=interpret,
+    )(n_valid, *planes)
+    return out.reshape(B, Mr * _LANE)[:, :npoint]

@@ -167,7 +167,8 @@ class Trainer:
         db = {k: jnp.asarray(v) for k, v in db.items()}
         if self.preprocess is not None:
             db = self.preprocess(db, jax.random.PRNGKey(0))
-        variables = self.model.init(jax.random.PRNGKey(seed), db, train=False)
+        variables = jax.jit(self.model.init, static_argnames='train')(
+            jax.random.PRNGKey(seed), db, train=False)
         params = variables['params']
         batch_stats = variables.get('batch_stats', {})
         opt_state = self.tx.init(params)
