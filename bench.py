@@ -51,17 +51,18 @@ def main():
             nms_post=int(post.NMS_CONFIG.NMS_POST_MAXSIZE))
         return dets
 
-    # warmup + compile
+    # warmup + compile. NOTE: materialize with np.asarray —
+    # jax.block_until_ready returns early on the axon TPU platform.
     dets = infer(variables, points)
-    jax.block_until_ready(dets)
+    np.asarray(dets['count'])
 
-    # median of per-iteration blocked timings (robust to runtime hiccups)
+    # median of per-iteration fully-materialized timings
     iters = 20
     times = []
     for _ in range(iters):
         t0 = time.time()
         dets = infer(variables, points)
-        jax.block_until_ready(dets)
+        np.asarray(dets['count'])
         times.append(time.time() - t0)
     import statistics
     dt = statistics.median(times)

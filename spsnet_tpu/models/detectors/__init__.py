@@ -1,11 +1,13 @@
 """Detector registry (parity: ``pcdet/models/detectors/__init__.py:15-37``)."""
 from .iassd import IASSD
 from .pagnet import PAGNet, SPSNetIA
+from .point_rcnn import PointRCNN
 
 _DETECTORS = {
     'IASSD': IASSD,
     'PAGNet': PAGNet,
     'SPSNet': SPSNetIA,
+    'PointRCNN': PointRCNN,
 }
 
 

@@ -68,6 +68,83 @@ def _fps_kernel(nvalid_ref, x_ref, y_ref, z_ref, out_ref, dist_ref):
     jax.lax.fori_loop(1, out_ref.shape[1] * _LANE, body, seed, unroll=False)
 
 
+def _fps_kernel_batched(nvalid_ref, x_ref, y_ref, z_ref, out_ref, dist_ref):
+    """All batch rows advance together: one M-step loop instead of B of them.
+    The loop is latency-bound, so batching the per-step VPU work is ~free."""
+    n_valid = nvalid_ref[0]
+    B, R = x_ref.shape[0], x_ref.shape[1]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (B, R, _LANE), 1)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (B, R, _LANE), 2)
+    flat_ids = row_ids * _LANE + lane_ids
+    valid = flat_ids < n_valid
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+
+    dist_ref[:] = jnp.where(valid, _BIG_F, -1.0)
+
+    x = x_ref[:]
+    y = y_ref[:]
+    z = z_ref[:]
+
+    def write(j, vals):
+        """vals: (B, 1) int32 written to flat output slot j of every row."""
+        r = j // _LANE
+        c = j % _LANE
+        rows = out_ref[:, pl.ds(r, 1), :]            # (B, 1, 128)
+        out_ref[:, pl.ds(r, 1), :] = jnp.where(
+            lane_row[None] == c, vals[:, None, :], rows)
+
+    write(0, jnp.zeros((B, 1), jnp.int32))
+
+    def body(j, carry):
+        x1, y1, z1 = carry                            # each (B, 1, 1)
+        d2 = (x - x1) ** 2 + (y - y1) ** 2 + (z - z1) ** 2
+        new_dist = jnp.minimum(dist_ref[:], jnp.where(valid, d2, -1.0))
+        dist_ref[:] = new_dist
+        m = jnp.max(new_dist, axis=(1, 2), keepdims=True)       # (B, 1, 1)
+        eq = new_dist == m
+        nxt = jnp.min(jnp.where(eq, flat_ids, jnp.int32(_BIG_I)),
+                      axis=(1, 2))                               # (B,)
+        write(j, nxt[:, None])
+        sel = flat_ids == nxt[:, None, None]
+        nx = jnp.sum(jnp.where(sel, x, 0.0), axis=(1, 2), keepdims=True)
+        ny = jnp.sum(jnp.where(sel, y, 0.0), axis=(1, 2), keepdims=True)
+        nz = jnp.sum(jnp.where(sel, z, 0.0), axis=(1, 2), keepdims=True)
+        return nx, ny, nz
+
+    seed = (x[:, 0:1, 0:1], y[:, 0:1, 0:1], z[:, 0:1, 0:1])
+    jax.lax.fori_loop(1, out_ref.shape[1] * _LANE, body, seed, unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=('npoint', 'interpret'))
+def farthest_point_sample_pallas_batched(xyz, npoint: int,
+                                         interpret: bool = False):
+    """Single-program batched variant of ``farthest_point_sample_pallas``."""
+    B, N, _ = xyz.shape
+    pad = (-N) % _LANE
+    R = (N + pad) // _LANE
+    xyz_p = jnp.pad(xyz, ((0, 0), (0, pad), (0, 0)))
+    planes = [xyz_p[..., i].reshape(B, R, _LANE) for i in range(3)]
+    n_valid = jnp.full((1,), N, dtype=jnp.int32)
+    Mr = -(-npoint // _LANE)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec((B, R, _LANE), lambda g, nv: (0, 0, 0),
+                               memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec((B, Mr, _LANE), lambda g, nv: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((B, R, _LANE), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        _fps_kernel_batched,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Mr, _LANE), jnp.int32),
+        interpret=interpret,
+    )(n_valid, *planes)
+    return out.reshape(B, Mr * _LANE)[:, :npoint]
+
+
 @functools.partial(jax.jit, static_argnames=('npoint', 'interpret'))
 def farthest_point_sample_pallas(xyz, npoint: int, interpret: bool = False):
     """(B, N, 3) -> (B, npoint) int32; N and npoint padded to 128 lanes."""
