@@ -104,6 +104,67 @@ def _quad_overlap(ca, cb):
     return jnp.where(n_valid >= 3, area, 0.0)
 
 
+def _pairwise_overlap_lb(corners_a, corners_b):
+    """Sort-free exact overlap of CCW quads via boundary integration.
+
+    Area(A ∩ B) = 1/2 |sum of cross(start, end) over directed boundary
+    segments| where the boundary is (A-edges clipped to B) ∪ (B-edges clipped
+    to A); each edge is clipped against the 4 half-planes with Liang-Barsky
+    interval arithmetic — closed-form VPU math, no sort/scatter, fully
+    broadcast over the (N, M) pair grid.
+
+    Caveat: EXACTLY coincident boundary segments (bit-identical duplicate
+    boxes) double-count, inflating the overlap — which only makes NMS
+    suppress exact duplicates harder. Use ``boxes_overlap_bev`` (sort-based)
+    where identical-box exactness matters.
+
+    Args: corners_a (N, 4, 2), corners_b (M, 4, 2). Returns (N, M).
+    """
+    def directed_contrib(ca, cb):
+        # edges of A: p -> p + d                     (N, 1, 4A, 1, 2)
+        p = ca[:, None, :, None, :]
+        d = (jnp.roll(ca, -1, axis=1) - ca)[:, None, :, None, :]
+        # half-planes of B: left of e1 -> e1 + db    (1, M, 1, 4B, 2)
+        e1 = cb[None, :, None, :, :]
+        db = (jnp.roll(cb, -1, axis=1) - cb)[None, :, None, :, :]
+
+        rel = p - e1
+        f_p = db[..., 0] * rel[..., 1] - db[..., 1] * rel[..., 0]
+        df = db[..., 0] * d[..., 1] - db[..., 1] * d[..., 0]
+        safe_df = jnp.where(jnp.abs(df) > _EPS, df, 1.0)
+        t_cross = -f_p / safe_df
+        lo = jnp.where(df > _EPS, t_cross, 0.0)
+        hi = jnp.where(df < -_EPS, t_cross, 1.0)
+        # parallel & outside -> empty interval
+        dead = (jnp.abs(df) <= _EPS) & (f_p < 0)
+        lo = jnp.where(dead, 1.0, lo)
+        hi = jnp.where(dead, 0.0, hi)
+        t0 = jnp.clip(jnp.max(lo, axis=-1), 0.0, 1.0)   # (N, M, 4A)
+        t1 = jnp.clip(jnp.min(hi, axis=-1), 0.0, 1.0)
+        ok = t1 > t0
+        p_ = p[..., 0, :]
+        d_ = d[..., 0, :]
+        s0 = p_ + t0[..., None] * d_
+        s1 = p_ + t1[..., None] * d_
+        contrib = s0[..., 0] * s1[..., 1] - s1[..., 0] * s0[..., 1]
+        return jnp.sum(jnp.where(ok, contrib, 0.0), axis=-1)   # (N, M)
+
+    total = directed_contrib(corners_a, corners_b) + \
+        jnp.swapaxes(directed_contrib(corners_b, corners_a), 0, 1)
+    return 0.5 * jnp.abs(total)
+
+
+@jax.jit
+def boxes_iou_bev_fast(boxes_a, boxes_b):
+    """Rotated BEV IoU via the sort-free overlap (NMS fast path)."""
+    ca = _bev_corners(boxes_a)
+    cb = _bev_corners(boxes_b)
+    overlap = _pairwise_overlap_lb(ca, cb)
+    area_a = (boxes_a[:, 3] * boxes_a[:, 4])[:, None]
+    area_b = (boxes_b[:, 3] * boxes_b[:, 4])[None, :]
+    return overlap / jnp.clip(area_a + area_b - overlap, 1e-6, None)
+
+
 @jax.jit
 def boxes_overlap_bev(boxes_a, boxes_b):
     """Exact rotated BEV overlap areas, (N, 7) x (M, 7) -> (N, M).
@@ -162,15 +223,21 @@ def points_in_boxes(points, boxes):
 
 
 def _greedy_suppress(iou, valid, thresh):
-    """Sequential greedy NMS over boxes already sorted by descending score."""
+    """Sequential greedy NMS over boxes already sorted by descending score.
+
+    unroll=8 amortizes the TPU loop-step overhead (each iteration is a few
+    tiny VPU ops; the sequential chain, not compute, is the cost).
+    """
     K = iou.shape[0]
+    idx = jnp.arange(K)
 
     def body(i, suppressed):
         is_kept = jnp.logical_not(suppressed[i]) & valid[i]
-        overlap = (iou[i] > thresh) & (jnp.arange(K) > i)
+        overlap = (iou[i] > thresh) & (idx > i)
         return suppressed | (is_kept & overlap)
 
-    suppressed = jax.lax.fori_loop(0, K, body, jnp.zeros((K,), dtype=bool))
+    suppressed = jax.lax.fori_loop(0, K, body, jnp.zeros((K,), dtype=bool),
+                                   unroll=8)
     return jnp.logical_not(suppressed) & valid
 
 
@@ -206,7 +273,7 @@ def nms_bev(boxes, scores, thresh: float, pre_maxsize: int = 4096,
         area = (sorted_boxes[:, 3] * sorted_boxes[:, 4])
         iou = overlap / jnp.clip(area[:, None] + area[None, :] - overlap, 1e-6, None)
     else:
-        iou = boxes_iou_bev(sorted_boxes, sorted_boxes)
+        iou = boxes_iou_bev_fast(sorted_boxes, sorted_boxes)
 
     keep_mask = _greedy_suppress(iou, sorted_valid, thresh)
 

@@ -70,14 +70,20 @@ def _fps_kernel(nvalid_ref, x_ref, y_ref, z_ref, out_ref, dist_ref):
 
 def _fps_kernel_batched(nvalid_ref, x_ref, y_ref, z_ref, out_ref, dist_ref):
     """All batch rows advance together: one M-step loop instead of B of them.
-    The loop is latency-bound, so batching the per-step VPU work is ~free."""
+    The loop is latency-bound, so batching the per-step VPU work is ~free.
+
+    EXPERIMENTAL: correct in interpret mode, but the current Mosaic release
+    cannot lower the (B, 1, 1)-per-batch broadcast patterns ("Broadcast in
+    both sublanes and lanes"); not dispatched until the toolchain catches up.
+    The per-batch grid kernel below is the production path.
+    """
     n_valid = nvalid_ref[0]
     B, R = x_ref.shape[0], x_ref.shape[1]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (B, R, _LANE), 1)
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (B, R, _LANE), 2)
     flat_ids = row_ids * _LANE + lane_ids
     valid = flat_ids < n_valid
-    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _LANE), 2)
 
     dist_ref[:] = jnp.where(valid, _BIG_F, -1.0)
 
@@ -86,29 +92,40 @@ def _fps_kernel_batched(nvalid_ref, x_ref, y_ref, z_ref, out_ref, dist_ref):
     z = z_ref[:]
 
     def write(j, vals):
-        """vals: (B, 1) int32 written to flat output slot j of every row."""
+        """vals: (B, 1, 1) int32 written to flat output slot j of every row."""
         r = j // _LANE
         c = j % _LANE
         rows = out_ref[:, pl.ds(r, 1), :]            # (B, 1, 128)
+        vals_row = jnp.broadcast_to(vals, (rows.shape[0], 1, _LANE))
         out_ref[:, pl.ds(r, 1), :] = jnp.where(
-            lane_row[None] == c, vals[:, None, :], rows)
+            jnp.broadcast_to(lane_row, vals_row.shape) == c, vals_row, rows)
 
-    write(0, jnp.zeros((B, 1), jnp.int32))
+    write(0, jnp.zeros((B, 1, 1), jnp.int32))
+
+    def bcast(a):
+        # (B, 1, 1) -> (B, R, 128) in two stages: Mosaic cannot broadcast
+        # sublanes and lanes in one op
+        a = jnp.broadcast_to(a, (B, 1, _LANE))
+        return jnp.broadcast_to(a, (B, R, _LANE))
 
     def body(j, carry):
         x1, y1, z1 = carry                            # each (B, 1, 1)
-        d2 = (x - x1) ** 2 + (y - y1) ** 2 + (z - z1) ** 2
+        d2 = (x - bcast(x1)) ** 2 + (y - bcast(y1)) ** 2 + (z - bcast(z1)) ** 2
         new_dist = jnp.minimum(dist_ref[:], jnp.where(valid, d2, -1.0))
         dist_ref[:] = new_dist
-        m = jnp.max(new_dist, axis=(1, 2), keepdims=True)       # (B, 1, 1)
-        eq = new_dist == m
-        nxt = jnp.min(jnp.where(eq, flat_ids, jnp.int32(_BIG_I)),
-                      axis=(1, 2))                               # (B,)
-        write(j, nxt[:, None])
-        sel = flat_ids == nxt[:, None, None]
-        nx = jnp.sum(jnp.where(sel, x, 0.0), axis=(1, 2), keepdims=True)
-        ny = jnp.sum(jnp.where(sel, y, 0.0), axis=(1, 2), keepdims=True)
-        nz = jnp.sum(jnp.where(sel, z, 0.0), axis=(1, 2), keepdims=True)
+        # single-axis reductions only: multi-axis reduce lowers through a
+        # reshape that crashes Mosaic's layout inference
+        def reduce2(op, a):
+            return op(op(a, axis=1, keepdims=True), axis=2, keepdims=True)
+
+        m = reduce2(jnp.max, new_dist)                           # (B, 1, 1)
+        eq = new_dist == bcast(m)
+        nxt = reduce2(jnp.min, jnp.where(eq, flat_ids, jnp.int32(_BIG_I)))
+        write(j, nxt)
+        sel = flat_ids == bcast(nxt)
+        nx = reduce2(jnp.sum, jnp.where(sel, x, 0.0))
+        ny = reduce2(jnp.sum, jnp.where(sel, y, 0.0))
+        nz = reduce2(jnp.sum, jnp.where(sel, z, 0.0))
         return nx, ny, nz
 
     seed = (x[:, 0:1, 0:1], y[:, 0:1, 0:1], z[:, 0:1, 0:1])
