@@ -117,6 +117,12 @@ class SAModuleMSGWithSampling(nn.Module):
             new_xyz = ctr_xyz
 
         if len(self.radii) > 0:
+            # one shared distance computation for all MSG scales
+            multi_idx = None
+            if not self.dilated_group:
+                from ..ops.grouping import ball_query_multi
+                multi_idx = ball_query_multi(
+                    tuple(self.radii), tuple(self.nsamples), xyz, new_xyz)
             scale_feats = []
             for i, (radius, nsample, mlp) in enumerate(
                     zip(self.radii, self.nsamples, self.mlps)):
@@ -128,7 +134,7 @@ class SAModuleMSGWithSampling(nn.Module):
                 else:
                     grouped, _ = ops.query_and_group(
                         radius, nsample, xyz, new_xyz, features,
-                        use_xyz=self.use_xyz)
+                        use_xyz=self.use_xyz, idx=multi_idx[i])
                 h = SharedMLP(mlp, name=f'mlp_{i}')(grouped, train=train)
                 if self.pool_method == 'max_pool':
                     h = jnp.max(h, axis=2)

@@ -136,8 +136,45 @@ def group_points(points, idx):
     return out.reshape(B, M, S, points.shape[-1])
 
 
+@functools.partial(jax.jit, static_argnames=('nsamples', 'chunk', 'method'))
+def ball_query_multi(radii, nsamples, xyz, new_xyz, chunk: int = 2048,
+                     method: str = 'auto'):
+    """Multi-scale ball query sharing ONE distance computation.
+
+    The MSG layers query the same (centers x points) distances at several
+    radii (``RADIUS_LIST`` pairs); computing d2 once halves the dominant
+    bandwidth cost vs calling ``ball_query`` per scale.
+
+    Returns a tuple of (B, M, nsamples[i]) index arrays.
+    """
+    radii = tuple(radii)
+    nsamples = tuple(nsamples)
+    B, M, _ = new_xyz.shape
+    chunk = min(chunk, M)
+    pad = (-M) % chunk
+    centers = jnp.pad(new_xyz, ((0, 0), (0, pad), (0, 0)))
+    n_chunks = centers.shape[1] // chunk
+    centers = centers.reshape(B, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
+
+    def one_chunk(ctr):
+        diff = ctr[:, :, None, :] - xyz[:, None, :, :]
+        d2 = (diff[..., 0] * diff[..., 0] + diff[..., 1] * diff[..., 1]
+              + diff[..., 2] * diff[..., 2])
+        outs = []
+        for r, s in zip(radii, nsamples):
+            outs.append(_first_k_hits(d2 < r * r, s, method=method))
+        return tuple(outs)
+
+    outs = jax.lax.map(one_chunk, centers)
+    result = []
+    for i, s in enumerate(nsamples):
+        o = outs[i].transpose(1, 0, 2, 3).reshape(B, n_chunks * chunk, s)
+        result.append(o[:, :M])
+    return tuple(result)
+
+
 def query_and_group(radius, nsample, xyz, new_xyz, features=None, use_xyz=True,
-                    min_radius=None, chunk=1024):
+                    min_radius=None, chunk=1024, idx=None):
     """Ball query + grouping with center-relative coords.
 
     Channel-last equivalent of ``QueryAndGroup.forward``
@@ -147,11 +184,15 @@ def query_and_group(radius, nsample, xyz, new_xyz, features=None, use_xyz=True,
     Returns:
         (B, M, S, 3 + C) if use_xyz and features is not None,
         else (B, M, S, 3) or (B, M, S, C).
+
+    ``idx`` short-circuits the query (e.g. precomputed by ``ball_query_multi``).
     """
-    if min_radius is None:
-        idx = ball_query(radius, nsample, xyz, new_xyz, chunk=chunk)
-    else:
-        idx = ball_query_dilated(min_radius, radius, nsample, xyz, new_xyz, chunk=chunk)
+    if idx is None:
+        if min_radius is None:
+            idx = ball_query(radius, nsample, xyz, new_xyz, chunk=chunk)
+        else:
+            idx = ball_query_dilated(min_radius, radius, nsample, xyz, new_xyz,
+                                     chunk=chunk)
     grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
     if features is not None:
         grouped_features = group_points(features, idx)

@@ -44,13 +44,18 @@ def shard_batch(batch: dict, mesh: Mesh, axis_name: str = 'data') -> dict:
     ``load_data_to_gpu``, ``models/__init__.py:23-34``).
     """
     sharding = batch_sharding(mesh, axis_name)
+    rep = replicate(mesh)
+    n_dev = mesh.devices.size
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray) and v.dtype != object and v.ndim >= 1:
+            # batches that don't divide the mesh (ragged eval tails) fall
+            # back to replicated placement instead of erroring
+            s = sharding if v.shape[0] % n_dev == 0 else rep
             if jax.process_count() > 1:
-                out[k] = jax.make_array_from_process_local_data(sharding, v)
+                out[k] = jax.make_array_from_process_local_data(s, v)
             else:
-                out[k] = jax.device_put(v, sharding)
+                out[k] = jax.device_put(v, s)
         elif isinstance(v, (int, float, np.integer, np.floating)):
             out[k] = v
         else:
