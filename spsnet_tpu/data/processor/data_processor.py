@@ -132,6 +132,48 @@ class DataProcessor:
                 data_dict[key] = data_dict[key][choice]
         return data_dict
 
+    def transform_points_to_voxels_placeholder(self, data_dict=None,
+                                               config=None):
+        """Grid-size bookkeeping only (parity: ``data_processor.py:117-125``)."""
+        if data_dict is None:
+            grid_size = (self.point_cloud_range[3:6] -
+                         self.point_cloud_range[0:3]) / np.asarray(
+                             config.VOXEL_SIZE)
+            self.grid_size = np.round(grid_size).astype(np.int64)
+            self.voxel_size = config.VOXEL_SIZE
+            return partial(self.transform_points_to_voxels_placeholder,
+                           config=config)
+        return data_dict
+
+    def _voxel_coords(self, points, voxel_size):
+        vs = np.asarray(voxel_size, dtype=np.float32)
+        coords = ((points[:, :3] - self.point_cloud_range[:3]) / vs).astype(
+            np.int64)
+        grid = np.maximum(np.round(
+            (self.point_cloud_range[3:6] - self.point_cloud_range[0:3]) / vs
+        ).astype(np.int64), 1)
+        coords = np.clip(coords, 0, grid - 1)
+        return coords, grid
+
+    def sample_points_by_voxels(self, data_dict=None, config=None):
+        """Voxel-dedup then fixed-N sample — the Waymo-scale funnel
+        (parity: ``data_processor.py:176-216``): voxelize, keep one point per
+        voxel (the first), then the near/far fixed-N rule."""
+        if data_dict is None:
+            return partial(self.sample_points_by_voxels, config=config)
+        points = data_dict['points']
+        if len(points):
+            coords, grid = self._voxel_coords(points, config.VOXEL_SIZE)
+            keys = (coords[:, 0] * grid[1] + coords[:, 1]) * grid[2] \
+                + coords[:, 2]
+            _, first_idx = np.unique(keys, return_index=True)
+            keep = np.sort(first_idx)
+            data_dict['points'] = points[keep]
+            for key in ('sem_labels', 'fake_labels'):
+                if data_dict.get(key, None) is not None:
+                    data_dict[key] = data_dict[key][keep]
+        return self.sample_points(data_dict=data_dict, config=config)
+
     def forward(self, data_dict):
         for cur_processor in self.data_processor_queue:
             data_dict = cur_processor(data_dict=data_dict)

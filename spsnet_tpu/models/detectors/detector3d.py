@@ -57,12 +57,55 @@ def class_agnostic_nms_batch(batch_box_preds, batch_cls_preds,
             'count': count}
 
 
+@functools.partial(jax.jit, static_argnames=('score_thresh', 'nms_thresh',
+                                             'nms_pre', 'nms_post',
+                                             'cls_preds_normalized'))
+def multi_classes_nms_batch(batch_box_preds, batch_cls_preds,
+                            score_thresh: float, nms_thresh: float,
+                            nms_pre: int, nms_post: int,
+                            cls_preds_normalized: bool = False):
+    """Per-class NMS (parity: ``model_nms_utils.multi_classes_nms``,
+    ``model_nms_utils.py:28-66``): each class suppressed independently, then
+    the per-class survivors are merged by score to ``nms_post`` slots."""
+    cls_scores = batch_cls_preds if cls_preds_normalized \
+        else jax.nn.sigmoid(batch_cls_preds)
+    num_class = cls_scores.shape[-1]
+
+    def one_frame(boxes, scores_all):
+        all_boxes, all_scores, all_labels = [], [], []
+        for c in range(num_class):
+            s = scores_all[:, c]
+            valid = s > score_thresh
+            keep_idx, num = ops.nms_bev(boxes, s, nms_thresh,
+                                        pre_maxsize=nms_pre,
+                                        post_maxsize=nms_post, valid=valid)
+            ok = keep_idx >= 0
+            safe = jnp.clip(keep_idx, 0, None)
+            all_boxes.append(jnp.where(ok[:, None], boxes[safe], 0.0))
+            all_scores.append(jnp.where(ok, s[safe], -1.0))
+            all_labels.append(jnp.where(ok, c + 1, 0))
+        boxes_c = jnp.concatenate(all_boxes, axis=0)
+        scores_c = jnp.concatenate(all_scores, axis=0)
+        labels_c = jnp.concatenate(all_labels, axis=0)
+        top_scores, order = jax.lax.top_k(scores_c, nms_post)
+        kept = top_scores > -1.0
+        return (jnp.where(kept[:, None], boxes_c[order], 0.0),
+                jnp.where(kept, top_scores, 0.0),
+                jnp.where(kept, labels_c[order], 0),
+                jnp.sum(kept).astype(jnp.int32))
+
+    boxes, scores_o, labels_o, count = jax.vmap(one_frame)(
+        batch_box_preds, cls_scores)
+    return {'boxes': boxes, 'scores': scores_o, 'labels': labels_o,
+            'count': count}
+
+
 def post_processing(batch, post_cfg):
     """Run configured NMS over head outputs; returns the final dets dict."""
     nms_cfg = post_cfg.NMS_CONFIG
-    assert not nms_cfg.get('MULTI_CLASSES_NMS', False), \
-        'multi-class NMS: use class_specific path (todo breadth)'
-    return class_agnostic_nms_batch(
+    nms_fn = multi_classes_nms_batch if nms_cfg.get('MULTI_CLASSES_NMS', False) \
+        else class_agnostic_nms_batch
+    return nms_fn(
         batch['batch_box_preds'], batch['batch_cls_preds'],
         score_thresh=float(post_cfg.SCORE_THRESH),
         nms_thresh=float(nms_cfg.NMS_THRESH),

@@ -24,6 +24,23 @@ from .sampling import calc_square_dist
 _BIG = jnp.int32(2 ** 30)
 
 
+def _query_d2(ctr, xyz):
+    """Squared center-to-point distances (B, chunk, N).
+
+    TPU: the |a|^2+|b|^2-2ab form — the cross term is an MXU matmul, ~100x
+    cheaper than VPU elementwise over (chunk, N, 3) at IA-SSD sizes (the
+    dominant ball-query cost in profiles). CPU: direct (a-b)^2 in fp32,
+    matching the CUDA kernel's boundary arithmetic bit-for-bit (the parity
+    tests' spec). The forms differ by ~1e-6 relative right at the radius
+    boundary — which of two essentially-equidistant neighbors fills a slot.
+    """
+    if jax.default_backend() == 'tpu':
+        return calc_square_dist(ctr, xyz)
+    diff = ctr[:, :, None, :] - xyz[:, None, :, :]       # (B, chunk, N, 3)
+    return (diff[..., 0] * diff[..., 0] + diff[..., 1] * diff[..., 1]
+            + diff[..., 2] * diff[..., 2])
+
+
 def _resolve_method(method):
     if method == 'auto':
         # Sort-based exact top-k is ~17x slower than the TPU-optimized
@@ -99,12 +116,7 @@ def _ball_query_impl(xyz, new_xyz, r2_max, r2_min, nsample, chunk, method='auto'
     centers = centers.reshape(B, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
 
     def one_chunk(ctr):
-        # Direct (a-b)^2 arithmetic in fp32 — matches the CUDA kernel's
-        # boundary behavior exactly (the |a|^2+|b|^2-2ab matmul form loses
-        # precision right at the radius boundary).
-        diff = ctr[:, :, None, :] - xyz[:, None, :, :]   # (B, chunk, N, 3)
-        d2 = (diff[..., 0] * diff[..., 0] + diff[..., 1] * diff[..., 1]
-              + diff[..., 2] * diff[..., 2])
+        d2 = _query_d2(ctr, xyz)
         if r2_min is None:
             hit = d2 < r2_max
         else:
@@ -157,9 +169,7 @@ def ball_query_multi(radii, nsamples, xyz, new_xyz, chunk: int = 2048,
     centers = centers.reshape(B, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
 
     def one_chunk(ctr):
-        diff = ctr[:, :, None, :] - xyz[:, None, :, :]
-        d2 = (diff[..., 0] * diff[..., 0] + diff[..., 1] * diff[..., 1]
-              + diff[..., 2] * diff[..., 2])
+        d2 = _query_d2(ctr, xyz)
         outs = []
         for r, s in zip(radii, nsamples):
             outs.append(_first_k_hits(d2 < r * r, s, method=method))
