@@ -106,7 +106,11 @@ def build_dataloader(dataset_cfg, class_names, batch_size, dist=False,
                      seed=0, num_shards=1, shard_id=0, total_epochs=0):
     """Registry + loader construction (parity: ``datasets/__init__.py:44-73``)."""
     from .kitti.kitti_dataset import KittiDataset
-    registry = {'KittiDataset': KittiDataset}
+    from .nuscenes.nuscenes_dataset import NuScenesDataset
+    from .waymo.waymo_dataset import WaymoDataset
+    registry = {'KittiDataset': KittiDataset,
+                'NuScenesDataset': NuScenesDataset,
+                'WaymoDataset': WaymoDataset}
     dataset_cls = registry[dataset_cfg.DATASET]
     dataset = dataset_cls(dataset_cfg=dataset_cfg, class_names=class_names,
                           root_path=root_path, training=training, logger=logger)

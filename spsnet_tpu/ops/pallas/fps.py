@@ -65,21 +65,9 @@ def _fps_kernel(nvalid_ref, x_ref, y_ref, z_ref, out_ref, dist_ref):
         return nx, ny, nz
 
     seed = (x_ref[0, 0, 0], y_ref[0, 0, 0], z_ref[0, 0, 0])
-    # manual 5x unroll amortizes loop control over the latency-bound chain
-    # (Pallas fori_loop only supports unroll=1/full; 4095 = 819 * 5)
-    M = out_ref.shape[1] * _LANE
-    U = 5
-    n_major = (M - 1) // U
-
-    def body_unrolled(i, carry):
-        j = 1 + i * U
-        for k in range(U):
-            carry = body(j + k, carry)
-        return carry
-
-    carry = jax.lax.fori_loop(0, n_major, body_unrolled, seed, unroll=False)
-    for k in range(1 + n_major * U, M):
-        carry = body(k, carry)
+    # NOTE: manual unrolling (tried 5x) cuts ~10% runtime but balloons the
+    # Mosaic compile from ~1 min to many minutes — not worth it.
+    jax.lax.fori_loop(1, out_ref.shape[1] * _LANE, body, seed, unroll=False)
 
 
 def _fps_kernel_batched(nvalid_ref, x_ref, y_ref, z_ref, out_ref, dist_ref):
