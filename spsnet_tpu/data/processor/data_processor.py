@@ -174,6 +174,58 @@ class DataProcessor:
                     data_dict[key] = data_dict[key][keep]
         return self.sample_points(data_dict=data_dict, config=config)
 
+    def transform_points_to_voxels(self, data_dict=None, config=None):
+        """Fixed-shape voxelization (parity: ``data_processor.py:146-174``,
+        which wraps spconv's VoxelGenerator): points -> zero-padded
+        (MAX_NUMBER_OF_VOXELS, MAX_POINTS_PER_VOXEL, C) voxels + (V, 3) zyx
+        coords + per-voxel counts. Pure numpy hash-bucket implementation."""
+        if data_dict is None:
+            vs = np.asarray(config.VOXEL_SIZE)
+            grid_size = (self.point_cloud_range[3:6] -
+                         self.point_cloud_range[0:3]) / vs
+            self.grid_size = np.round(grid_size).astype(np.int64)
+            self.voxel_size = config.VOXEL_SIZE
+            return partial(self.transform_points_to_voxels, config=config)
+
+        points = data_dict['points']
+        max_voxels = int(config.MAX_NUMBER_OF_VOXELS[self.mode]) \
+            if isinstance(config.MAX_NUMBER_OF_VOXELS, dict) \
+            else int(config.MAX_NUMBER_OF_VOXELS)
+        max_pts = int(config.MAX_POINTS_PER_VOXEL)
+        vs = np.asarray(config.VOXEL_SIZE, dtype=np.float32)
+        grid = np.round((self.point_cloud_range[3:6] -
+                         self.point_cloud_range[0:3]) / vs).astype(np.int64)
+
+        coords = np.floor(
+            (points[:, :3] - self.point_cloud_range[:3]) / vs).astype(np.int64)
+        in_range = ((coords >= 0) & (coords < grid)).all(axis=1)
+        points_v = points[in_range]
+        coords = coords[in_range]
+        keys = (coords[:, 2] * grid[1] + coords[:, 1]) * grid[0] + coords[:, 0]
+        order = np.argsort(keys, kind='stable')
+        keys_s, points_s, coords_s = keys[order], points_v[order], coords[order]
+        uniq, starts, counts = np.unique(keys_s, return_index=True,
+                                         return_counts=True)
+        n_voxels = min(len(uniq), max_voxels)
+
+        voxels = np.zeros((max_voxels, max_pts, points.shape[1]),
+                          dtype=np.float32)
+        voxel_coords = np.zeros((max_voxels, 3), dtype=np.int64)
+        voxel_num_points = np.zeros((max_voxels,), dtype=np.int32)
+        # vectorized fill: per-point (voxel id, slot-in-voxel)
+        vid = np.searchsorted(uniq, keys_s)
+        slot = np.arange(len(keys_s)) - starts[vid]
+        ok = (vid < n_voxels) & (slot < max_pts)
+        voxels[vid[ok], slot[ok]] = points_s[ok]
+        voxel_coords[:n_voxels] = coords_s[starts[:n_voxels]][:, [2, 1, 0]]
+        voxel_num_points[:n_voxels] = np.minimum(counts[:n_voxels], max_pts)
+
+        data_dict['voxels'] = voxels
+        data_dict['voxel_coords'] = voxel_coords
+        data_dict['voxel_num_points'] = voxel_num_points
+        data_dict['voxel_valid'] = (np.arange(max_voxels) < n_voxels)
+        return data_dict
+
     def forward(self, data_dict):
         for cur_processor in self.data_processor_queue:
             data_dict = cur_processor(data_dict=data_dict)

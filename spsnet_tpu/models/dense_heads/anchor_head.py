@@ -1,0 +1,264 @@
+"""Anchor-based dense head (SECOND / PointPillars family).
+
+Rebuild of ``dense_heads/anchor_head_{template,single}.py`` +
+``target_assigner/{anchor_generator,axis_aligned_target_assigner}.py``:
+
+- grid anchors per class (sizes x rotations) laid out (ny, nx, C*R, 7);
+- axis-aligned-nearest-BEV-IoU target assignment with per-class
+  matched/unmatched thresholds, gt-force-matching, batched via vmap;
+- losses: positives-normalized focal cls, sin-difference smooth-L1 box,
+  2-bin direction classifier;
+- decode with direction correction.
+
+Everything is fixed-shape; the per-frame/per-class python loops of the
+reference become a static class loop inside one vmapped assignment.
+"""
+from __future__ import annotations
+
+from typing import Any, List
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...utils import box_coder as box_coder_lib
+from ...utils import loss_utils
+from ...utils.common import limit_period
+
+
+def generate_anchors(anchor_generator_configs, grid_size, point_cloud_range,
+                     feature_map_stride):
+    """Returns anchors (ny, nx, A, 7) float32 and per-anchor-slot metadata
+    (class id (A,), matched/unmatched thresholds (A,)).
+
+    Layout per location: [class0_rot0, class0_rot1, class1_rot0, ...] —
+    the conv head channel ordering must match (it does, by construction).
+    """
+    pcr = np.asarray(point_cloud_range, dtype=np.float32)
+    nx = int(grid_size[0]) // feature_map_stride
+    ny = int(grid_size[1]) // feature_map_stride
+    x_stride = (pcr[3] - pcr[0]) / nx
+    y_stride = (pcr[4] - pcr[1]) / ny
+    xs = pcr[0] + x_stride / 2 + np.arange(nx) * x_stride
+    ys = pcr[1] + y_stride / 2 + np.arange(ny) * y_stride
+
+    all_anchors, cls_ids, m_thr, u_thr = [], [], [], []
+    for ci, cfg in enumerate(anchor_generator_configs):
+        sizes = np.asarray(cfg['anchor_sizes'], dtype=np.float32)
+        rotations = np.asarray(cfg['anchor_rotations'], dtype=np.float32)
+        z = float(cfg['anchor_bottom_heights'][0])
+        for size in sizes:
+            for rot in rotations:
+                a = np.zeros((ny, nx, 7), dtype=np.float32)
+                a[..., 0] = xs[None, :]
+                a[..., 1] = ys[:, None]
+                a[..., 2] = z + (size[2] / 2 if cfg.get(
+                    'align_center', False) is False else 0.0)
+                a[..., 3:6] = size
+                a[..., 6] = rot
+                all_anchors.append(a)
+                cls_ids.append(ci + 1)
+                m_thr.append(float(cfg['matched_threshold']))
+                u_thr.append(float(cfg['unmatched_threshold']))
+    anchors = np.stack(all_anchors, axis=2)        # (ny, nx, A, 7)
+    return (anchors, np.asarray(cls_ids, np.int32),
+            np.asarray(m_thr, np.float32), np.asarray(u_thr, np.float32))
+
+
+def _aligned_bev_boxes(boxes):
+    """Axis-aligned BEV envelope (parity: ``box_utils.
+    boxes3d_lidar_to_aligned_bev_boxes``): rotate dims to the nearest axis."""
+    rot = limit_period(boxes[..., 6], offset=0.5, period=np.pi)
+    cond = (jnp.abs(rot) < np.pi / 4)
+    dx = jnp.where(cond, boxes[..., 3], boxes[..., 4])
+    dy = jnp.where(cond, boxes[..., 4], boxes[..., 3])
+    return jnp.stack([boxes[..., 0] - dx / 2, boxes[..., 1] - dy / 2,
+                      boxes[..., 0] + dx / 2, boxes[..., 1] + dy / 2], axis=-1)
+
+
+def nearest_bev_iou(boxes_a, boxes_b):
+    """(N, 7) x (M, 7) axis-aligned nearest-BEV IoU
+    (parity: ``box_utils.boxes3d_nearest_bev_iou``)."""
+    a = _aligned_bev_boxes(boxes_a)
+    b = _aligned_bev_boxes(boxes_b)
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = ((a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1]))[:, None]
+    area_b = ((b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]))[None, :]
+    return inter / jnp.clip(area_a + area_b - inter, 1e-6, None)
+
+
+def assign_anchor_targets(anchors_flat, anchor_cls, anchor_mthr, anchor_uthr,
+                          gt_boxes, box_coder, num_classes):
+    """One frame (parity: ``assign_targets_single`` with the per-class gt
+    masking of ``AxisAlignedTargetAssigner.assign_targets``).
+
+    Args:
+        anchors_flat: (N, 7); anchor_cls/m/u: (N,); gt_boxes: (T, 8) padded.
+    Returns: labels (N,) int32 (-1/0/c), reg_targets (N, code), reg_w (N,).
+    """
+    N = anchors_flat.shape[0]
+    gt_valid = gt_boxes[:, 3] > 0
+    gt_cls = gt_boxes[:, 7].astype(jnp.int32)
+
+    iou = nearest_bev_iou(anchors_flat, gt_boxes[:, :7])       # (N, T)
+    same_class = anchor_cls[:, None] == gt_cls[None, :]
+    iou = jnp.where(same_class & gt_valid[None, :], iou, -1.0)
+
+    a2g_max = jnp.max(iou, axis=1)
+    a2g_arg = jnp.argmax(iou, axis=1)
+    g2a_max = jnp.max(iou, axis=0)                             # (T,)
+    # gt with no positive overlap gets sentinel so no anchor force-matches
+    g2a_max = jnp.where(g2a_max <= 0, -2.0, g2a_max)
+    force = jnp.any((iou == g2a_max[None, :]) & gt_valid[None, :], axis=1)
+
+    labels = jnp.full((N,), -1, dtype=jnp.int32)
+    pos = a2g_max >= anchor_mthr
+    bg = a2g_max < anchor_uthr
+    matched_cls = gt_cls[a2g_arg]
+    labels = jnp.where(bg, 0, labels)
+    labels = jnp.where(pos | force, matched_cls, labels)
+
+    fg = labels > 0
+    enc = box_coder.encode(gt_boxes[a2g_arg, :7], anchors_flat)
+    reg_targets = jnp.where(fg[:, None], enc, 0.0)
+    reg_weights = fg.astype(jnp.float32)
+    return labels, reg_targets, reg_weights, a2g_arg
+
+
+class AnchorHeadSingle(nn.Module):
+    """Single conv head (``anchor_head_single.py``)."""
+    model_cfg: Any
+    num_class: int
+    grid_size: Any
+    point_cloud_range: Any
+
+    def setup(self):
+        self.box_coder = box_coder_lib.build_box_coder(
+            self.model_cfg.TARGET_ASSIGNER_CONFIG.get('BOX_CODER',
+                                                      'ResidualCoder'))
+        agc = [dict(c.to_dict() if hasattr(c, 'to_dict') else c)
+               for c in self.model_cfg.ANCHOR_GENERATOR_CONFIG]
+        stride = int(agc[0].get('feature_map_stride', 2))
+        anchors, cls_ids, m, u = generate_anchors(
+            agc, self.grid_size, self.point_cloud_range, stride)
+        self.anchors = jnp.asarray(anchors)          # (ny, nx, A, 7)
+        self.anchor_cls = jnp.asarray(cls_ids)
+        self.anchor_mthr = jnp.asarray(m)
+        self.anchor_uthr = jnp.asarray(u)
+        self.num_anchors_per_loc = anchors.shape[2]
+        A = self.num_anchors_per_loc
+        self.conv_cls = nn.Conv(A * self.num_class, (1, 1), name='conv_cls')
+        self.conv_box = nn.Conv(A * self.box_coder.code_size, (1, 1),
+                                name='conv_box')
+        self.use_dir = self.model_cfg.get('USE_DIRECTION_CLASSIFIER', True)
+        self.num_dir_bins = int(self.model_cfg.get('NUM_DIR_BINS', 2))
+        if self.use_dir:
+            self.conv_dir = nn.Conv(A * self.num_dir_bins, (1, 1),
+                                    name='conv_dir_cls')
+
+    def __call__(self, batch, train: bool = True):
+        x = batch['spatial_features_2d']             # (B, ny, nx, C)
+        B, H, W, _ = x.shape
+        A = self.num_anchors_per_loc
+        cls_preds = self.conv_cls(x).reshape(B, H * W * A, self.num_class)
+        box_preds = self.conv_box(x).reshape(B, H * W * A,
+                                             self.box_coder.code_size)
+        dir_preds = None
+        if self.use_dir:
+            dir_preds = self.conv_dir(x).reshape(B, H * W * A,
+                                                 self.num_dir_bins)
+
+        anchors_flat = self.anchors.reshape(-1, 7)
+        ret = {'cls_preds': cls_preds, 'box_preds': box_preds,
+               'dir_preds': dir_preds, 'anchors': anchors_flat}
+
+        if train and 'gt_boxes' in batch:
+            ac = jnp.broadcast_to(self.anchor_cls[None, None],
+                                  (H, W, A)).reshape(-1)
+            am = jnp.broadcast_to(self.anchor_mthr[None, None],
+                                  (H, W, A)).reshape(-1)
+            au = jnp.broadcast_to(self.anchor_uthr[None, None],
+                                  (H, W, A)).reshape(-1)
+            labels, reg_t, reg_w, _ = jax.vmap(
+                lambda gt: assign_anchor_targets(
+                    anchors_flat, ac, am, au, gt, self.box_coder,
+                    self.num_class))(batch['gt_boxes'])
+            ret.update({'box_cls_labels': labels, 'box_reg_targets': reg_t,
+                        'reg_weights': reg_w})
+
+        # decode for inference
+        decoded = self.box_coder.decode(box_preds, anchors_flat[None])
+        if self.use_dir and dir_preds is not None:
+            dir_offset = float(self.model_cfg.get('DIR_OFFSET', 0.78539))
+            dir_limit_offset = float(self.model_cfg.get('DIR_LIMIT_OFFSET', 0.0))
+            dir_labels = jnp.argmax(dir_preds, axis=-1)
+            period = 2 * np.pi / self.num_dir_bins
+            rot = limit_period(decoded[..., 6] - dir_offset,
+                               dir_limit_offset, period)
+            decoded = decoded.at[..., 6].set(
+                rot + dir_offset + period * dir_labels.astype(decoded.dtype))
+
+        batch = dict(batch)
+        batch['batch_cls_preds'] = cls_preds
+        batch['batch_box_preds'] = decoded
+        batch['cls_preds_normalized'] = False
+        batch['anchor_head_ret'] = ret
+        return batch
+
+
+def anchor_head_loss(ret, loss_cfg, num_class, box_coder, num_dir_bins=2,
+                     dir_offset=0.78539):
+    """AnchorHeadTemplate losses (``anchor_head_template.py``): focal cls,
+    sin-difference smooth-L1 box, direction CE. Returns (loss, tb)."""
+    lw = loss_cfg.LOSS_WEIGHTS
+    labels = ret['box_cls_labels']                  # (B, N)
+    cls_preds = ret['cls_preds']
+    box_preds = ret['box_preds']
+    tb = {}
+
+    care = labels >= 0
+    positives = labels > 0
+    neg = labels == 0
+    cls_w = (1.0 * neg + 1.0 * positives)
+    pos_norm = jnp.clip(positives.sum(axis=1, keepdims=True), 1.0, None)
+    cls_w = cls_w / pos_norm
+    one_hot = jax.nn.one_hot(jnp.clip(labels, 0, None), num_class + 1)[..., 1:]
+    cls_loss = loss_utils.sigmoid_focal_loss(cls_preds, one_hot, cls_w).sum() \
+        / labels.shape[0]
+    cls_loss = cls_loss * lw['cls_weight']
+    tb['rpn_loss_cls'] = cls_loss
+
+    reg_w = ret['reg_weights'] / pos_norm
+    # sin-difference heading encoding (anchor_head_template.add_sin_difference)
+    bp, rt = box_preds, ret['box_reg_targets']
+    sin_p = jnp.sin(bp[..., 6]) * jnp.cos(rt[..., 6])
+    sin_t = jnp.cos(bp[..., 6]) * jnp.sin(rt[..., 6])
+    bp = bp.at[..., 6].set(sin_p)
+    rt = rt.at[..., 6].set(sin_t)
+    loc_loss = loss_utils.weighted_smooth_l1(
+        bp, rt, weights=reg_w,
+        code_weights=lw.get('code_weights', None)).sum() / labels.shape[0]
+    loc_loss = loc_loss * lw['loc_weight']
+    tb['rpn_loss_loc'] = loc_loss
+
+    dir_loss = 0.0
+    if ret.get('dir_preds', None) is not None:
+        anchors = ret['anchors']                    # (N, 7)
+        gt_rot = ret['box_reg_targets'][..., 6] + anchors[None, :, 6]
+        dir_t = jnp.floor(
+            limit_period(gt_rot - dir_offset, 0.0, 2 * np.pi)
+            / (2 * np.pi / num_dir_bins)).astype(jnp.int32)
+        dir_t = jnp.clip(dir_t, 0, num_dir_bins - 1)
+        one_hot_dir = jax.nn.one_hot(dir_t, num_dir_bins)
+        dir_loss = loss_utils.weighted_softmax_ce(
+            ret['dir_preds'], one_hot_dir, reg_w).sum() / labels.shape[0]
+        dir_loss = dir_loss * lw['dir_weight']
+        tb['rpn_loss_dir'] = dir_loss
+
+    total = cls_loss + loc_loss + dir_loss
+    tb['rpn_loss'] = total
+    return total, tb

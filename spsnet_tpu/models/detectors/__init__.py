@@ -2,12 +2,14 @@
 from .iassd import IASSD
 from .pagnet import PAGNet, SPSNetIA
 from .point_rcnn import PointRCNN
+from .pointpillar import PointPillar
 
 _DETECTORS = {
     'IASSD': IASSD,
     'PAGNet': PAGNet,
     'SPSNet': SPSNetIA,
     'PointRCNN': PointRCNN,
+    'PointPillar': PointPillar,
 }
 
 

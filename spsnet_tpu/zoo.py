@@ -220,6 +220,64 @@ def tiny_pointrcnn_cfg() -> EDict:
     })
 
 
+def tiny_pointpillar_cfg() -> EDict:
+    """Tiny PointPillars over a small BEV grid (CPU-fast)."""
+    return EDict({
+        'NAME': 'PointPillar',
+        'VFE': {'NAME': 'PillarVFE', 'WITH_DISTANCE': False,
+                'USE_ABSOLUTE_XYZ': True, 'USE_NORM': True,
+                'NUM_FILTERS': [32]},
+        'MAP_TO_BEV': {'NAME': 'PointPillarScatter', 'NUM_BEV_FEATURES': 32},
+        'BACKBONE_2D': {'NAME': 'BaseBEVBackbone',
+                        'LAYER_NUMS': [2, 2], 'LAYER_STRIDES': [2, 2],
+                        'NUM_FILTERS': [32, 64],
+                        'UPSAMPLE_STRIDES': [1, 2],
+                        'NUM_UPSAMPLE_FILTERS': [64, 64]},
+        'DENSE_HEAD': {
+            'NAME': 'AnchorHeadSingle',
+            'CLASS_AGNOSTIC': False,
+            'USE_DIRECTION_CLASSIFIER': True,
+            'DIR_OFFSET': 0.78539, 'DIR_LIMIT_OFFSET': 0.0,
+            'NUM_DIR_BINS': 2,
+            'ANCHOR_GENERATOR_CONFIG': [
+                {'class_name': 'Car', 'anchor_sizes': [[3.9, 1.6, 1.56]],
+                 'anchor_rotations': [0, 1.57],
+                 'anchor_bottom_heights': [-1.78],
+                 'align_center': False, 'feature_map_stride': 2,
+                 'matched_threshold': 0.6, 'unmatched_threshold': 0.45},
+                {'class_name': 'Pedestrian', 'anchor_sizes': [[0.8, 0.6, 1.73]],
+                 'anchor_rotations': [0, 1.57],
+                 'anchor_bottom_heights': [-0.6],
+                 'align_center': False, 'feature_map_stride': 2,
+                 'matched_threshold': 0.5, 'unmatched_threshold': 0.35},
+                {'class_name': 'Cyclist', 'anchor_sizes': [[1.76, 0.6, 1.73]],
+                 'anchor_rotations': [0, 1.57],
+                 'anchor_bottom_heights': [-0.6],
+                 'align_center': False, 'feature_map_stride': 2,
+                 'matched_threshold': 0.5, 'unmatched_threshold': 0.35},
+            ],
+            'TARGET_ASSIGNER_CONFIG': {
+                'NAME': 'AxisAlignedTargetAssigner',
+                'POS_FRACTION': -1.0, 'SAMPLE_SIZE': 512,
+                'NORM_BY_NUM_EXAMPLES': False,
+                'MATCH_HEIGHT': False, 'BOX_CODER': 'ResidualCoder',
+            },
+            'LOSS_CONFIG': {
+                'LOSS_WEIGHTS': {'cls_weight': 1.0, 'loc_weight': 2.0,
+                                 'dir_weight': 0.2,
+                                 'code_weights': [1.0] * 7},
+            },
+        },
+        'POST_PROCESSING': {
+            'RECALL_THRESH_LIST': [0.3, 0.5, 0.7],
+            'SCORE_THRESH': 0.1,
+            'NMS_CONFIG': {'MULTI_CLASSES_NMS': False, 'NMS_TYPE': 'nms_gpu',
+                           'NMS_THRESH': 0.01, 'NMS_PRE_MAXSIZE': 256,
+                           'NMS_POST_MAXSIZE': 32},
+        },
+    })
+
+
 def tiny_optimization_cfg() -> EDict:
     return EDict({
         'BATCH_SIZE_PER_GPU': 8, 'NUM_EPOCHS': 2,

@@ -1,0 +1,110 @@
+"""PointPillars end-to-end: host voxelization -> VFE -> scatter -> BEV
+backbone -> anchor head, forward + loss + gradients."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from spsnet_tpu.config import EDict
+from spsnet_tpu.data.processor.data_processor import DataProcessor
+from spsnet_tpu.models import build_detector
+from spsnet_tpu.zoo import tiny_pointpillar_cfg
+
+PCR = [0, -12.8, -3, 25.6, 12.8, 1]
+VOXEL = [0.4, 0.4, 4]
+
+
+def make_batch(rng, B=2):
+    proc = DataProcessor(
+        [EDict({'NAME': 'transform_points_to_voxels',
+                'VOXEL_SIZE': VOXEL,
+                'MAX_POINTS_PER_VOXEL': 8,
+                'MAX_NUMBER_OF_VOXELS': {'train': 512, 'test': 512}})],
+        np.array(PCR, dtype=np.float32), training=True)
+    frames = []
+    for _ in range(B):
+        pts = np.zeros((800, 4), dtype=np.float32)
+        pts[:, 0] = rng.uniform(0.5, 25, 800)
+        pts[:, 1] = rng.uniform(-12, 12, 800)
+        pts[:, 2] = rng.uniform(-2, 0.5, 800)
+        frames.append(proc.forward({'points': pts}))
+    gt = np.zeros((B, 6, 8), dtype=np.float32)
+    gt[:, :3, 0] = rng.uniform(3, 22, (B, 3))
+    gt[:, :3, 1] = rng.uniform(-10, 10, (B, 3))
+    gt[:, :3, 2] = -1.0
+    gt[:, :3, 3:6] = [3.9, 1.6, 1.56]
+    gt[:, :3, 6] = rng.uniform(-np.pi, np.pi, (B, 3))
+    gt[:, :3, 7] = 1
+    return {
+        'voxels': jnp.asarray(np.stack([f['voxels'] for f in frames])),
+        'voxel_coords': jnp.asarray(np.stack([f['voxel_coords'] for f in frames])),
+        'voxel_num_points': jnp.asarray(np.stack([f['voxel_num_points'] for f in frames])),
+        'voxel_valid': jnp.asarray(np.stack([f['voxel_valid'] for f in frames])),
+        'gt_boxes': jnp.asarray(gt),
+    }
+
+
+@pytest.fixture(scope='module')
+def pp_setup():
+    cfg = tiny_pointpillar_cfg()
+    model = build_detector(cfg, num_class=3, voxel_size=tuple(VOXEL),
+                           point_cloud_range=tuple(PCR))
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    return cfg, model, variables, batch
+
+
+def test_pointpillar_forward(pp_setup):
+    cfg, model, variables, batch = pp_setup
+    out = model.apply(variables, batch, train=False)
+    # grid 64x64, stride 2 -> 32x32 locations x 6 anchors
+    assert out['batch_box_preds'].shape == (2, 32 * 32 * 6, 7)
+    assert out['batch_cls_preds'].shape == (2, 32 * 32 * 6, 3)
+    assert np.isfinite(np.asarray(out['batch_box_preds'])).all()
+
+
+def test_pointpillar_loss_and_grads(pp_setup):
+    cfg, model, variables, batch = pp_setup
+    other = {k: v for k, v in variables.items() if k != 'params'}
+
+    def compute(params):
+        out, _ = model.apply({'params': params, **other}, batch, train=True,
+                             mutable=['batch_stats'])
+        loss, tb = model.apply({'params': params, **other}, out,
+                               method=model.loss)
+        return loss
+
+    loss, grads = jax.value_and_grad(compute)(variables['params'])
+    assert np.isfinite(float(loss))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    assert any(np.abs(np.asarray(g)).max() > 0 for g in flat)
+
+
+def test_anchor_assignment_positive_on_exact_match():
+    from spsnet_tpu.models.dense_heads.anchor_head import (
+        assign_anchor_targets, generate_anchors)
+    from spsnet_tpu.utils.box_coder import ResidualCoder
+    agc = [{'class_name': 'Car', 'anchor_sizes': [[3.9, 1.6, 1.56]],
+            'anchor_rotations': [0, 1.57], 'anchor_bottom_heights': [-1.78],
+            'align_center': False, 'feature_map_stride': 2,
+            'matched_threshold': 0.6, 'unmatched_threshold': 0.45}]
+    anchors, cls_ids, m, u = generate_anchors(agc, (64, 64, 1), PCR, 2)
+    flat = anchors.reshape(-1, 7)
+    # gt exactly on one anchor
+    gt = np.zeros((4, 8), dtype=np.float32)
+    gt[0, :7] = flat[100]
+    gt[0, 7] = 1
+    A = flat.shape[0]
+    ac = np.broadcast_to(cls_ids[None], (A // len(cls_ids), len(cls_ids))).reshape(-1)
+    am = np.broadcast_to(m[None], (A // len(m), len(m))).reshape(-1)
+    au = np.broadcast_to(u[None], (A // len(u), len(u))).reshape(-1)
+    labels, reg_t, reg_w, _ = assign_anchor_targets(
+        jnp.asarray(flat), jnp.asarray(ac), jnp.asarray(am), jnp.asarray(au),
+        jnp.asarray(gt), ResidualCoder(), 1)
+    labels = np.asarray(labels)
+    assert labels[100] == 1                       # exact match is positive
+    assert (labels >= -1).all()
+    assert np.asarray(reg_t)[100].max() < 1e-5    # zero residual
+    assert (labels == 1).sum() >= 1
