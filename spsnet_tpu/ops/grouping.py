@@ -25,17 +25,14 @@ _BIG = jnp.int32(2 ** 30)
 
 
 def _query_d2(ctr, xyz):
-    """Squared center-to-point distances (B, chunk, N).
+    """Squared center-to-point distances (B, chunk, N), direct (a-b)^2 fp32.
 
-    TPU: the |a|^2+|b|^2-2ab form — the cross term is an MXU matmul, ~100x
-    cheaper than VPU elementwise over (chunk, N, 3) at IA-SSD sizes (the
-    dominant ball-query cost in profiles). CPU: direct (a-b)^2 in fp32,
-    matching the CUDA kernel's boundary arithmetic bit-for-bit (the parity
-    tests' spec). The forms differ by ~1e-6 relative right at the radius
-    boundary — which of two essentially-equidistant neighbors fills a slot.
+    Matches the CUDA kernel's boundary arithmetic bit-for-bit (the parity
+    tests' spec). NOTE: the |a|^2+|b|^2-2ab MXU form was tried with
+    Precision.HIGHEST — runtime-attractive but the 6-pass fp32 matmul
+    expansion blows XLA compile time from ~1 min to >5 min at IA-SSD sizes;
+    bf16 matmuls are numerically unusable here (coords ~35 m, radii 0.2 m).
     """
-    if jax.default_backend() == 'tpu':
-        return calc_square_dist(ctr, xyz)
     diff = ctr[:, :, None, :] - xyz[:, None, :, :]       # (B, chunk, N, 3)
     return (diff[..., 0] * diff[..., 0] + diff[..., 1] * diff[..., 1]
             + diff[..., 2] * diff[..., 2])
