@@ -82,7 +82,10 @@ def merge_new_config(config: EDict, new_config: dict) -> EDict:
     for key, val in new_config.items():
         if key == '_BASE_CONFIG_':
             continue
-        if isinstance(val, dict) and isinstance(config.get(key), dict):
+        if isinstance(val, dict):
+            # always recurse so nested _BASE_CONFIG_ entries resolve
+            if not isinstance(config.get(key), dict):
+                config[key] = EDict()
             merge_new_config(config[key], val)
         else:
             config[key] = val
