@@ -164,23 +164,51 @@ def iassd_head_loss(ret, loss_cfg, num_class, box_coder,
     cls_loss_fn = loss_utils.build_cls_loss(loss_cfg.LOSS_CLS)
     ins_loss_fn = loss_utils.build_cls_loss(loss_cfg.get('LOSS_INS', loss_cfg.LOSS_CLS))
 
-    # ---- vote (contextual) loss — reference get_contextual_vote_loss (:452) ----
+    # ---- vote loss — reference get_contextual_vote_loss{,_ver1,_ver2} ----
     cot = ret['center_origin_targets']
     centers_origin = ret['centers_origin']
     ctr_offsets = ret['ctr_offsets']
     centers_pred = centers_origin + ctr_offsets
     gt_centers = cot.gt_box_of_points[..., 0:3]
     per_elem = loss_utils.smooth_l1(centers_pred - gt_centers, beta=1.0)
-    vote_losses, present = [], []
-    for c in range(1, num_class + 1):
-        m = (cot.cls_labels == c).astype(jnp.float32)
-        cnt = jnp.sum(m)
-        loss_c = jnp.sum(per_elem * m[..., None]) / jnp.clip(cnt * 3.0, 1.0, None)
-        vote_losses.append(loss_c)
-        present.append((cnt > 0).astype(jnp.float32))
-    vote_losses = jnp.stack(vote_losses)
-    present = jnp.stack(present)
-    vote_loss = jnp.sum(vote_losses * present) / jnp.clip(jnp.sum(present), 1.0, None)
+    vote_type = loss_cfg.get('LOSS_VOTE_TYPE', 'none')
+    if vote_type in ('ver1', 'ver2'):
+        # instance-averaged variants (``IASSD_head.py:473-529``): per-frame
+        # per-gt-instance sum/count via one-hot segment reduction.
+        box_idxs = cot.box_idxs                        # (B, M)
+        fg = cot.fg_mask
+        max_t = 64
+        safe_idx = jnp.clip(box_idxs, 0, max_t - 1)
+        one_hot_ins = jax.nn.one_hot(safe_idx, max_t) * fg[..., None]
+        per_point = per_elem.sum(axis=-1)              # (B, M)
+        ins_sum = jnp.einsum('bm,bmt->bt', per_point, one_hot_ins)
+        ins_cnt = one_hot_ins.sum(axis=1)              # (B, T)
+        if vote_type == 'ver2':
+            # extra term: spread around the per-instance mean prediction
+            mean_pred = jnp.einsum('bmc,bmt->btc', centers_pred, one_hot_ins) \
+                / jnp.clip(ins_cnt[..., None], 1.0, None)
+            spread = loss_utils.smooth_l1(
+                centers_pred[:, :, None, :] - mean_pred[:, None, :, :],
+                beta=1.0).sum(-1)                      # (B, M, T)
+            spread_sum = jnp.sum(spread * one_hot_ins, axis=1)
+            ins_sum = ins_sum + 0.5 * spread_sum
+        ins_loss = ins_sum / jnp.clip(ins_cnt, 1.0, None)
+        has_ins = ins_cnt > 0
+        vote_loss = jnp.sum(jnp.where(has_ins, ins_loss, 0.0)) \
+            / jnp.clip(jnp.sum(has_ins), 1.0, None)
+    else:  # 'none': per-class masked mean, averaged over classes present
+        vote_losses, present = [], []
+        for c in range(1, num_class + 1):
+            m = (cot.cls_labels == c).astype(jnp.float32)
+            cnt = jnp.sum(m)
+            loss_c = jnp.sum(per_elem * m[..., None]) \
+                / jnp.clip(cnt * 3.0, 1.0, None)
+            vote_losses.append(loss_c)
+            present.append((cnt > 0).astype(jnp.float32))
+        vote_losses = jnp.stack(vote_losses)
+        present = jnp.stack(present)
+        vote_loss = jnp.sum(vote_losses * present) \
+            / jnp.clip(jnp.sum(present), 1.0, None)
     vote_loss = vote_loss * lw.get('vote_weight', 1.0)
     tb['center_origin_loss_reg'] = vote_loss
 
