@@ -7,10 +7,24 @@ batched matmuls.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+
+# Process-wide compute dtype for the pointwise MLP stacks (weights stay
+# fp32; matmuls run in this dtype). Set via set_compute_dtype(jnp.bfloat16)
+# BEFORE building modules — distance/selection math elsewhere stays fp32.
+_COMPUTE_DTYPE: Any = None
+
+
+def set_compute_dtype(dtype):
+    global _COMPUTE_DTYPE
+    _COMPUTE_DTYPE = dtype
+
+
+def get_compute_dtype():
+    return _COMPUTE_DTYPE
 
 
 class SharedMLP(nn.Module):
@@ -28,12 +42,17 @@ class SharedMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        dt = get_compute_dtype()
         for c in self.channels:
-            x = nn.Dense(c, use_bias=not self.use_bn)(x)
+            x = nn.Dense(c, use_bias=not self.use_bn, dtype=dt)(x)
             if self.use_bn:
+                # BN statistics in fp32 regardless of compute dtype
                 x = nn.BatchNorm(use_running_average=not train,
-                                 momentum=0.9, epsilon=1e-5)(x)
+                                 momentum=0.9, epsilon=1e-5,
+                                 dtype=jnp.float32)(x)
             x = nn.relu(x)
+        if dt is not None:
+            x = x.astype(jnp.float32)
         return x
 
 

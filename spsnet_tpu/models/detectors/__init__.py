@@ -3,6 +3,7 @@ from .iassd import IASSD
 from .pagnet import PAGNet, SPSNetIA
 from .point_rcnn import PointRCNN
 from .pointpillar import PointPillar
+from .centerpoint import CenterPoint
 
 _DETECTORS = {
     'IASSD': IASSD,
@@ -10,6 +11,7 @@ _DETECTORS = {
     'SPSNet': SPSNetIA,
     'PointRCNN': PointRCNN,
     'PointPillar': PointPillar,
+    'CenterPoint': CenterPoint,
 }
 
 

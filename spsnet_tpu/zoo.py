@@ -278,6 +278,29 @@ def tiny_pointpillar_cfg() -> EDict:
     })
 
 
+def tiny_centerpoint_cfg() -> EDict:
+    """Tiny CenterPoint-pillar (CPU-fast)."""
+    cfg = tiny_pointpillar_cfg()
+    cfg.NAME = 'CenterPoint'
+    cfg.DENSE_HEAD = EDict({
+        'NAME': 'CenterHead',
+        'CLASS_AGNOSTIC': False,
+        'SHARED_CONV_CHANNEL': 32,
+        'TARGET_ASSIGNER_CONFIG': {
+            'FEATURE_MAP_STRIDE': 2,
+            'NUM_MAX_OBJS': 32,
+            'GAUSSIAN_OVERLAP': 0.1,
+            'MIN_RADIUS': 2,
+        },
+        'POST_CONFIG': {'MAX_OBJ_PER_SAMPLE': 32},
+        'LOSS_CONFIG': {
+            'LOSS_WEIGHTS': {'cls_weight': 1.0, 'loc_weight': 2.0,
+                             'code_weights': [1.0] * 8},
+        },
+    })
+    return cfg
+
+
 def tiny_optimization_cfg() -> EDict:
     return EDict({
         'BATCH_SIZE_PER_GPU': 8, 'NUM_EPOCHS': 2,
