@@ -4,6 +4,7 @@ from .pagnet import PAGNet, SPSNetIA
 from .point_rcnn import PointRCNN
 from .pointpillar import PointPillar
 from .centerpoint import CenterPoint
+from .second_net import SECONDNet
 
 _DETECTORS = {
     'IASSD': IASSD,
@@ -12,6 +13,7 @@ _DETECTORS = {
     'PointRCNN': PointRCNN,
     'PointPillar': PointPillar,
     'CenterPoint': CenterPoint,
+    'SECONDNet': SECONDNet,
 }
 
 
