@@ -226,6 +226,24 @@ class DataProcessor:
         data_dict['voxel_valid'] = (np.arange(max_voxels) < n_voxels)
         return data_dict
 
+    def build_sparse_conv_plan(self, data_dict=None, config=None):
+        """Host-side sparse-conv planning for the voxel backbones (see
+        ``sparse_plan.py``); run after ``transform_points_to_voxels``."""
+        if data_dict is None:
+            return partial(self.build_sparse_conv_plan, config=config)
+        from .sparse_plan import build_sparse_plan
+        vs = np.asarray(self.voxel_size)
+        grid_xyz = np.round((self.point_cloud_range[3:6] -
+                             self.point_cloud_range[0:3]) / vs).astype(np.int64)
+        grid_zyx = grid_xyz[::-1]
+        plan = build_sparse_plan(
+            data_dict['voxel_coords'], data_dict['voxel_valid'], grid_zyx,
+            max_voxels_per_level=int(config.get(
+                'MAX_VOXELS_PER_LEVEL', data_dict['voxel_coords'].shape[0])))
+        plan.pop('final_grid')
+        data_dict.update(plan)
+        return data_dict
+
     def forward(self, data_dict):
         for cur_processor in self.data_processor_queue:
             data_dict = cur_processor(data_dict=data_dict)
