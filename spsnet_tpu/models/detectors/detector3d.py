@@ -114,6 +114,16 @@ def post_processing(batch, post_cfg):
         cls_preds_normalized=bool(batch.get('cls_preds_normalized', False)))
 
 
+@functools.partial(jax.jit, static_argnames=('thresh_list',))
+def generate_recall_record_batch(pred_boxes, pred_count, gt_boxes,
+                                 thresh_list=(0.3, 0.5, 0.7)):
+    """Batched recall record: (B, P, 7) x (B,) x (B, T, 8) -> summed counts
+    dict (one device round-trip per eval batch, not per frame)."""
+    recs = jax.vmap(lambda b, c, g: generate_recall_record(
+        b, c, g, thresh_list=thresh_list))(pred_boxes, pred_count, gt_boxes)
+    return {k: jnp.sum(v) for k, v in recs.items()}
+
+
 def generate_recall_record(pred_boxes, pred_count, gt_boxes,
                            thresh_list=(0.3, 0.5, 0.7)):
     """Recall bookkeeping vs gt for one frame (parity:

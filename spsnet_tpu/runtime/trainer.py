@@ -235,9 +235,17 @@ class Trainer:
         thresh_list = list(self.cfg.MODEL.POST_PROCESSING.RECALL_THRESH_LIST)
         t0 = time.time()
         n_frames = 0
+        from ..models.detectors.detector3d import generate_recall_record_batch
         for batch in eval_loader:
             db = shard_batch(device_batch(batch), self.mesh)
             dets, _ = self.eval_step(state.params, state.batch_stats, db)
+            if 'gt_boxes' in batch:
+                rec = generate_recall_record_batch(
+                    dets['boxes'], dets['count'], db['gt_boxes'],
+                    thresh_list=tuple(thresh_list))
+                rec = jax.device_get(rec)
+                for k, v in rec.items():
+                    recall_dict[k] = recall_dict.get(k, 0) + int(v)
             dets = jax.device_get(dets)
             B = dets['boxes'].shape[0]
             n_frames += B
@@ -249,14 +257,6 @@ class Trainer:
                     'pred_scores': dets['scores'][b, :cnt],
                     'pred_labels': dets['labels'][b, :cnt],
                 })
-                if 'gt_boxes' in batch:
-                    rec = generate_recall_record(
-                        jnp.asarray(dets['boxes'][b]),
-                        jnp.asarray(dets['count'][b]),
-                        jnp.asarray(batch['gt_boxes'][b]),
-                        thresh_list=thresh_list)
-                    for k, v in rec.items():
-                        recall_dict[k] = recall_dict.get(k, 0) + int(v)
             annos = dataset.generate_prediction_dicts(
                 batch, pred_dicts, class_names,
                 output_path=result_dir if save_to_file else None)
