@@ -197,3 +197,117 @@ def farthest_point_sample_pallas(xyz, npoint: int, interpret: bool = False):
         interpret=interpret,
     )(n_valid, *planes)
     return out.reshape(B, Mr * _LANE)[:, :npoint]
+
+
+def _fps_kernel_batched2d(nvalid_ref, x_ref, y_ref, z_ref, out_ref, dist_ref):
+    """Strictly-2D batched FPS (EXPERIMENTAL, not dispatched).
+
+    Outcome of the experiment: lowers under Mosaic (rank-2 only, selector-
+    matrix matmul broadcasts, static-slice reductions) but (a) the per-batch
+    broadcast matmul runs in bf16 on TPU which corrupts integer indices
+    (> 2^8) and coordinates, and (b) even so it measured SLOWER than the
+    per-batch grid kernel (58.6 vs 49.5 ms, B=8 16384->4096) — the per-step
+    select/concat machinery costs more than the B-fold loop it saves.
+    Kept for reference; the per-batch grid kernel is the production path.
+
+    Layouts: coords/dist (B*R, 128); output (Mr, B*128) — column block b*128
+    holds batch b's indices; the wrapper transposes back.
+    """
+    n_valid = nvalid_ref[0]
+    BR = x_ref.shape[0]
+    B = out_ref.shape[1] // _LANE
+    R = BR // B
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BR, _LANE), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (BR, _LANE), 0)
+    flat_ids = (row % R) * _LANE + lane            # per-b point id
+    valid = flat_ids < n_valid
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (1, B * _LANE), 1)
+    out_col = out_lane % _LANE                     # slot-in-row per column
+
+    x = x_ref[:]
+    y = y_ref[:]
+    z = z_ref[:]
+    dist_ref[:] = jnp.where(valid, _BIG_F, -1.0)
+
+    # selector matrix S[i, b] = 1 iff row i belongs to batch b: per-batch
+    # broadcast becomes an MXU matmul and per-batch sum a transposed matmul —
+    # no reshapes (Mosaic cannot shape-cast lanes into sublanes).
+    sel_rows = jax.lax.broadcasted_iota(jnp.int32, (BR, B), 0) // R
+    sel_cols = jax.lax.broadcasted_iota(jnp.int32, (BR, B), 1)
+    S = (sel_rows == sel_cols).astype(jnp.float32)          # (BR, B)
+
+    def per_b_full(col):
+        """(B, 1) -> (B*R, 128) per-batch broadcast via S @ col."""
+        full_col = jnp.dot(S, col, preferred_element_type=jnp.float32)
+        return jnp.broadcast_to(full_col, (BR, _LANE))
+
+    def reduce_per_b(arr, op):
+        """(B*R, 128) -> (B, 1): lane-reduce, then per-batch static slices."""
+        m_row = op(arr.astype(jnp.float32), axis=1, keepdims=True)  # (BR, 1)
+        parts = [op(m_row[b * R:(b + 1) * R, :], axis=0, keepdims=True)
+                 for b in range(B)]
+        return jnp.concatenate(parts, axis=0)                # (B, 1)
+
+    def write(j, vals_b):
+        """vals_b (B, 1) -> output row j (Mr, B*128) layout."""
+        r = j // _LANE
+        c = j % _LANE
+        vals_row = jnp.broadcast_to(vals_b, (B, _LANE)).reshape(1, B * _LANE)
+        cur = out_ref[pl.ds(r, 1), :]
+        out_ref[pl.ds(r, 1), :] = jnp.where(out_col == c, vals_row, cur)
+
+    write(0, jnp.zeros((B, 1), jnp.int32))
+
+    def body(j, carry):
+        x1, y1, z1 = carry                          # each (B, 1)
+        d2 = (x - per_b_full(x1)) ** 2 + (y - per_b_full(y1)) ** 2 \
+            + (z - per_b_full(z1)) ** 2
+        new_dist = jnp.minimum(dist_ref[:], jnp.where(valid, d2, -1.0))
+        dist_ref[:] = new_dist
+        m_b = reduce_per_b(new_dist, jnp.max)
+        eq = new_dist == per_b_full(m_b)
+        cand = jnp.where(eq, flat_ids, jnp.int32(_BIG_I))
+        nxt_b = reduce_per_b(cand, jnp.min)            # (B, 1) float32
+        write(j, nxt_b.astype(jnp.int32))
+        sel = flat_ids.astype(jnp.float32) == per_b_full(nxt_b)
+        nx = reduce_per_b(jnp.where(sel, x, 0.0), jnp.sum)
+        ny = reduce_per_b(jnp.where(sel, y, 0.0), jnp.sum)
+        nz = reduce_per_b(jnp.where(sel, z, 0.0), jnp.sum)
+        return nx, ny, nz
+
+    seed = (reduce_per_b(jnp.where(flat_ids == 0, x, 0.0), jnp.sum),
+            reduce_per_b(jnp.where(flat_ids == 0, y, 0.0), jnp.sum),
+            reduce_per_b(jnp.where(flat_ids == 0, z, 0.0), jnp.sum))
+    jax.lax.fori_loop(1, out_ref.shape[0] * _LANE, body, seed, unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=('npoint', 'interpret'))
+def farthest_point_sample_pallas_batched2d(xyz, npoint: int,
+                                           interpret: bool = False):
+    """Strictly-2D batched FPS wrapper; one program for the whole batch."""
+    B, N, _ = xyz.shape
+    pad = (-N) % _LANE
+    R = (N + pad) // _LANE
+    xyz_p = jnp.pad(xyz, ((0, 0), (0, pad), (0, 0)))
+    planes = [xyz_p[..., i].reshape(B * R, _LANE) for i in range(3)]
+    n_valid = jnp.full((1,), N, dtype=jnp.int32)
+    Mr = -(-npoint // _LANE)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec((B * R, _LANE), lambda g, nv: (0, 0),
+                               memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec((Mr, B * _LANE), lambda g, nv: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((B * R, _LANE), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        _fps_kernel_batched2d,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mr, B * _LANE), jnp.int32),
+        interpret=interpret,
+    )(n_valid, *planes)
+    out = out.reshape(Mr, B, _LANE).transpose(1, 0, 2).reshape(B, Mr * _LANE)
+    return out[:, :npoint]
