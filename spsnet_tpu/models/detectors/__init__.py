@@ -5,6 +5,7 @@ from .point_rcnn import PointRCNN
 from .pointpillar import PointPillar
 from .centerpoint import CenterPoint
 from .second_net import SECONDNet
+from .pv_rcnn import PVRCNN
 
 _DETECTORS = {
     'IASSD': IASSD,
@@ -14,6 +15,7 @@ _DETECTORS = {
     'PointPillar': PointPillar,
     'CenterPoint': CenterPoint,
     'SECONDNet': SECONDNet,
+    'PVRCNN': PVRCNN,
 }
 
 

@@ -1,0 +1,137 @@
+"""PV-RCNN RoI head: RoI-grid pooling over keypoint features.
+
+Rebuild of ``roi_heads/pvrcnn_head.py``: each RoI is covered by a
+GRID_SIZE^3 lattice of points (canonical frame scaled by the roi dims,
+rotated+translated to world); each grid point MSG-ball-queries the VSA
+keypoints; PointNet + shared FCs -> cls/reg. Proposal/target sampling shares
+``roi_utils`` with PointRCNN (CLS_SCORE_TYPE 'roi_iou' soft labels).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ... import ops
+from ...utils import box_coder as box_coder_lib
+from ...utils import common
+from ..blocks import MLPHead, SharedMLP
+from ..detectors.detector3d import class_agnostic_nms_batch
+from .roi_utils import proposal_target_layer
+
+
+def roi_grid_points(rois, grid_size):
+    """(B, R, 7) -> (B, R, G^3, 3) world-frame grid points
+    (parity: ``pvrcnn_head.py get_global_grid_points_of_roi``)."""
+    B, R, _ = rois.shape
+    G = grid_size
+    idx = np.stack(np.meshgrid(*[np.arange(G)] * 3, indexing='ij'),
+                   axis=-1).reshape(-1, 3).astype(np.float32)   # (G^3, 3)
+    local = (jnp.asarray(idx)[None, None] + 0.5) / G - 0.5      # in [-.5, .5]
+    local = local * rois[:, :, None, 3:6]
+    rot = common.rotate_points_along_z(
+        local.reshape(B * R, G ** 3, 3), rois[..., 6].reshape(B * R))
+    return rot.reshape(B, R, G ** 3, 3) + rois[:, :, None, 0:3]
+
+
+class PVRCNNHead(nn.Module):
+    model_cfg: Any
+    num_class: int = 1
+
+    def setup(self):
+        self.box_coder = box_coder_lib.build_box_coder(
+            self.model_cfg.TARGET_CONFIG.BOX_CODER)
+        pool = self.model_cfg.ROI_GRID_POOL
+        self.grid_size = int(pool.GRID_SIZE)
+        self.pool_radii = [float(r) for r in pool.POOL_RADIUS]
+        self.pool_nsamples = [int(n) for n in pool.NSAMPLE]
+        self.pool_mlps = [list(m) for m in pool.MLPS]
+        self.pool_layers = [SharedMLP(m, name=f'pool_mlp_{i}')
+                            for i, m in enumerate(self.pool_mlps)]
+        self.shared_fc = SharedMLP(list(self.model_cfg.SHARED_FC),
+                                   name='shared_fc')
+        self.cls_layers = MLPHead(list(self.model_cfg.CLS_FC), self.num_class,
+                                  name='cls_layers')
+        self.reg_layers = MLPHead(list(self.model_cfg.REG_FC),
+                                  self.box_coder.code_size * self.num_class,
+                                  name='reg_layers')
+
+    def proposal_layer(self, batch, nms_cfg):
+        dets = class_agnostic_nms_batch(
+            batch['batch_box_preds'], batch['batch_cls_preds'],
+            score_thresh=-1e9,
+            nms_thresh=float(nms_cfg.NMS_THRESH),
+            nms_pre=int(nms_cfg.NMS_PRE_MAXSIZE),
+            nms_post=int(nms_cfg.NMS_POST_MAXSIZE),
+            cls_preds_normalized=bool(batch.get('cls_preds_normalized', False)))
+        R = dets['boxes'].shape[1]
+        valid = jnp.arange(R)[None, :] < dets['count'][:, None]
+        return dets['boxes'], dets['scores'], dets['labels'], valid
+
+    def roi_grid_pool(self, batch, rois, train):
+        """(B, R, 7) -> (B, R, G^3 * C_pool) pooled keypoint features."""
+        kp = batch['point_coords']                   # (B, K, 3)
+        kp_feats = batch['point_features']
+        # weight features by predicted fg score (PKW, ``pvrcnn_head.py``)
+        if 'point_cls_scores' in batch:
+            kp_feats = kp_feats * jax.lax.stop_gradient(
+                batch['point_cls_scores'])[..., None]
+        B, R, _ = rois.shape
+        G3 = self.grid_size ** 3
+        grid = roi_grid_points(rois[..., :7], self.grid_size)
+        grid_flat = grid.reshape(B, R * G3, 3)
+
+        scale_feats = []
+        for i, (r, ns) in enumerate(zip(self.pool_radii, self.pool_nsamples)):
+            grouped, _ = ops.query_and_group(r, ns, kp, grid_flat, kp_feats)
+            h = self.pool_layers[i](grouped, train=train)
+            scale_feats.append(jnp.max(h, axis=2))
+        pooled = jnp.concatenate(scale_feats, axis=-1)   # (B, R*G3, C)
+        return pooled.reshape(B, R, G3 * pooled.shape[-1])
+
+    def __call__(self, batch, train: bool = True):
+        nms_cfg = self.model_cfg.NMS_CONFIG.TRAIN if train \
+            else self.model_cfg.NMS_CONFIG.TEST
+        rois, roi_scores, roi_labels, roi_valid = self.proposal_layer(
+            batch, nms_cfg)
+
+        targets = None
+        if train and 'gt_boxes' in batch:
+            rng = self.make_rng('roi_sampling')
+            targets = proposal_target_layer(
+                rng, rois, roi_scores, roi_labels, roi_valid,
+                batch['gt_boxes'], self.model_cfg.TARGET_CONFIG)
+            rois = targets.rois
+            roi_labels = targets.roi_labels
+
+        pooled = self.roi_grid_pool(batch, rois, train)  # (B, R, G3*C)
+        shared = self.shared_fc(pooled, train=train)
+        rcnn_cls = self.cls_layers(shared, train=train)
+        rcnn_reg = self.reg_layers(shared, train=train)
+
+        B, R = rois.shape[:2]
+        ret = {'rcnn_cls': rcnn_cls, 'rcnn_reg': rcnn_reg, 'rois': rois,
+               'targets': targets}
+
+        code_size = self.box_coder.code_size
+        local_rois = rois[..., :7].at[..., 0:3].set(0.0).at[..., 6].set(0.0)
+        decoded_local = self.box_coder.decode(
+            rcnn_reg.reshape(B, R, code_size), local_rois)
+        xyz_g = common.rotate_points_along_z(
+            decoded_local[..., 0:3].reshape(B * R, 1, 3),
+            rois[..., 6].reshape(B * R)).reshape(B, R, 3)
+        decoded = decoded_local.at[..., 0:3].set(xyz_g + rois[..., 0:3])
+        decoded = decoded.at[..., 6].add(rois[..., 6])
+        ret['batch_box_preds'] = decoded
+
+        batch = dict(batch)
+        batch['roi_head_ret'] = ret
+        if not train:
+            batch['batch_box_preds'] = decoded
+            batch['batch_cls_preds'] = rcnn_cls
+            batch['batch_roi_labels'] = roi_labels
+            batch['cls_preds_normalized'] = False
+        return batch
