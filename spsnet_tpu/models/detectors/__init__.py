@@ -6,6 +6,7 @@ from .pointpillar import PointPillar
 from .centerpoint import CenterPoint
 from .second_net import SECONDNet
 from .pv_rcnn import PVRCNN
+from .voxel_rcnn import VoxelRCNN
 
 _DETECTORS = {
     'IASSD': IASSD,
@@ -16,6 +17,7 @@ _DETECTORS = {
     'CenterPoint': CenterPoint,
     'SECONDNet': SECONDNet,
     'PVRCNN': PVRCNN,
+    'VoxelRCNN': VoxelRCNN,
 }
 
 
