@@ -113,6 +113,41 @@ def spconv_down(coords, valid, grid, stride, padding, kernel_size,
         int(x) for x in new_grid)
 
 
+def spconv_up_table(fine_coords, fine_valid, fine_grid, coarse_coords,
+                    coarse_valid, coarse_grid, stride, padding, kernel_size):
+    """Inverse (transposed) sparse conv neighbor table for UNet decoders:
+    for each FINE active site, the coarse voxels whose forward receptive
+    field covered it — i.e. coarse = (fine + pad - k) / stride when integral.
+
+    Returns (V_fine, K) indices into the coarse level (sentinel = V_coarse).
+    """
+    stride = np.asarray(stride)
+    padding = np.asarray(padding)
+    ks = np.asarray(kernel_size)
+    kernel = np.stack(np.meshgrid(*[np.arange(k) for k in ks],
+                                  indexing='ij'), axis=-1).reshape(-1, 3)
+    V_fine = fine_coords.shape[0]
+    V_coarse = coarse_coords.shape[0]
+    act = fine_coords[fine_valid]
+    c_act = coarse_coords[coarse_valid]
+    c_keys = _keys(c_act, coarse_grid)
+    order = np.argsort(c_keys)
+    keys_sorted = c_keys[order]
+    orig_idx = np.flatnonzero(coarse_valid)[order]
+
+    cand = act[:, None, :] + padding[None, None, :] - kernel[None, :, :]
+    div_ok = (cand % stride[None, None, :] == 0).all(-1)
+    q = cand // stride[None, None, :]
+    in_rng = ((q >= 0) & (q < np.asarray(coarse_grid))).all(-1)
+    qk = _keys(np.clip(q, 0, None).reshape(-1, 3), coarse_grid)
+    found = _lookup(keys_sorted, orig_idx, qk).reshape(len(act), len(kernel))
+    found = np.where(div_ok & in_rng & (found >= 0), found, V_coarse)
+
+    table = np.full((V_fine, len(kernel)), V_coarse, dtype=np.int32)
+    table[np.flatnonzero(fine_valid)] = found
+    return table.astype(np.int32)
+
+
 # VoxelBackBone8x geometry (``spconv_backbone.py:69-180``): channel plan
 # [16, 16, 32, 64, 64] + conv_out 128; strided convs at conv2/3/4 + the
 # (3,1,1)-kernel z-compression conv_out.
@@ -130,29 +165,41 @@ BACKBONE8X_PLAN = [
 
 
 def build_sparse_plan(voxel_coords, voxel_valid, grid_zyx,
-                      max_voxels_per_level=None, plan=BACKBONE8X_PLAN):
+                      max_voxels_per_level=None, plan=BACKBONE8X_PLAN,
+                      with_up_tables=False):
     """Per-frame plan for the VoxelBackBone8x geometry.
 
     Args:
         voxel_coords: (V, 3) zyx int; voxel_valid: (V,) bool;
         grid_zyx: (3,) ints (nz, ny, nx).
+        with_up_tables: also emit inverse-conv tables for UNet decoders
+            (``up{N}_table``: fine level gathering from the coarse level).
     Returns: dict of numpy arrays (tables/coords/valids per layer).
     """
     if max_voxels_per_level is None:
         max_voxels_per_level = voxel_coords.shape[0]
     out: Dict[str, np.ndarray] = {}
     coords, valid, grid = voxel_coords, voxel_valid, tuple(grid_zyx)
-    level = 0
+    levels = [(coords, valid, grid)]
+    down_geoms = []
     for name, kind, stride, padding, ks in plan:
         if kind == 'subm':
             out[f'{name}_table'] = subm_table(coords, valid, grid)
         else:
+            fine = (coords, valid, grid)
             coords, valid, table, grid = spconv_down(
                 coords, valid, grid, stride, padding, ks,
                 max_out=max_voxels_per_level)
-            level += 1
             out[f'{name}_table'] = table
             out[f'{name}_coords'] = coords
             out[f'{name}_valid'] = valid
+            levels.append((coords, valid, grid))
+            down_geoms.append((name, fine, (coords, valid, grid),
+                               stride, padding, ks))
+    if with_up_tables:
+        for name, fine, coarse, stride, padding, ks in down_geoms:
+            out[f'{name}_up_table'] = spconv_up_table(
+                fine[0], fine[1], fine[2], coarse[0], coarse[1], coarse[2],
+                stride, padding, ks)
     out['final_grid'] = np.asarray(grid, dtype=np.int32)
     return out

@@ -7,6 +7,7 @@ from .centerpoint import CenterPoint
 from .second_net import SECONDNet
 from .pv_rcnn import PVRCNN
 from .voxel_rcnn import VoxelRCNN
+from .part_a2 import PartA2Net
 
 _DETECTORS = {
     'IASSD': IASSD,
@@ -18,6 +19,7 @@ _DETECTORS = {
     'SECONDNet': SECONDNet,
     'PVRCNN': PVRCNN,
     'VoxelRCNN': VoxelRCNN,
+    'PartA2Net': PartA2Net,
 }
 
 
