@@ -63,6 +63,79 @@ def global_rotation(gt_boxes, points, rot_range, angle=None):
     return gt_boxes, points
 
 
+def _points_in_box_mask(points, box):
+    """(N, 3+) x (7,) -> bool mask of points inside the rotated box."""
+    shift = points[:, :3] - box[:3]
+    cosa, sina = np.cos(-box[6]), np.sin(-box[6])
+    lx = shift[:, 0] * cosa - shift[:, 1] * sina
+    ly = shift[:, 0] * sina + shift[:, 1] * cosa
+    return ((np.abs(shift[:, 2]) <= box[5] / 2) &
+            (np.abs(lx) < box[3] / 2 + 1e-5) & (np.abs(ly) < box[4] / 2 + 1e-5))
+
+
+def random_local_translation(gt_boxes, points, offset_range, along=('x', 'y', 'z')):
+    """Per-gt-box random translation of the box and its points
+    (parity: ``augmentor_utils.random_local_translation_along_*``)."""
+    axis_idx = {'x': 0, 'y': 1, 'z': 2}
+    gt_boxes = gt_boxes.copy()
+    points = points.copy()
+    for i, box in enumerate(gt_boxes):
+        mask = _points_in_box_mask(points, box[:7])
+        for ax in along:
+            off = np.random.uniform(offset_range[0], offset_range[1])
+            j = axis_idx[ax]
+            points[mask, j] += off
+            gt_boxes[i, j] += off
+    return gt_boxes, points
+
+
+def random_local_rotation(gt_boxes, points, rot_range):
+    """Per-gt-box rotation about the box center
+    (parity: ``augmentor_utils.local_rotation``)."""
+    gt_boxes = gt_boxes.copy()
+    points = points.copy()
+    for i, box in enumerate(gt_boxes):
+        angle = np.random.uniform(rot_range[0], rot_range[1])
+        mask = _points_in_box_mask(points, box[:7])
+        ctr = box[:3].copy()
+        local = points[mask, :3] - ctr
+        points[mask, :3] = rotate_points_along_z_np(
+            np.concatenate([local, points[mask, 3:]], axis=1), angle)[:, :3] + ctr
+        gt_boxes[i, 6] += angle
+    return gt_boxes, points
+
+
+def random_local_scaling(gt_boxes, points, scale_range):
+    """Per-gt-box scaling about the box center
+    (parity: ``augmentor_utils.local_scaling``)."""
+    if scale_range[1] - scale_range[0] < 1e-3:
+        return gt_boxes, points
+    gt_boxes = gt_boxes.copy()
+    points = points.copy()
+    for i, box in enumerate(gt_boxes):
+        scale = np.random.uniform(scale_range[0], scale_range[1])
+        mask = _points_in_box_mask(points, box[:7])
+        ctr = box[:3]
+        points[mask, :3] = (points[mask, :3] - ctr) * scale + ctr
+        gt_boxes[i, 3:6] *= scale
+    return gt_boxes, points
+
+
+def global_frustum_dropout(gt_boxes, points, intensity_range, direction='top'):
+    """Drop a random frustum of points (parity:
+    ``augmentor_utils.global_frustum_dropout_*``): remove points beyond a
+    random fraction of the cloud extent along the chosen direction."""
+    if len(points) == 0:
+        return gt_boxes, points
+    intensity = np.random.uniform(intensity_range[0], intensity_range[1])
+    axis, sign = {'top': (2, 1), 'bottom': (2, -1),
+                  'left': (1, 1), 'right': (1, -1)}[direction]
+    vals = points[:, axis] * sign
+    thresh = vals.max() - intensity * (vals.max() - vals.min())
+    keep = vals < thresh
+    return gt_boxes, points[keep]
+
+
 def global_scaling(gt_boxes, points, scale_range, scale=None):
     if scale_range[1] - scale_range[0] < 1e-3:
         return gt_boxes, points

@@ -68,6 +68,51 @@ class DataAugmentor:
         data_dict['points'] = points
         return data_dict
 
+    def random_local_translation(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.random_local_translation, config=config)
+        gt_boxes, points = augmentor_utils.random_local_translation(
+            data_dict['gt_boxes'], data_dict['points'],
+            config.LOCAL_TRANSLATION_RANGE,
+            along=config.get('ALONG_AXIS_LIST', ['x', 'y', 'z']))
+        data_dict['gt_boxes'] = gt_boxes
+        data_dict['points'] = points
+        return data_dict
+
+    def random_local_rotation(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.random_local_rotation, config=config)
+        rot_range = config.LOCAL_ROT_ANGLE
+        if not isinstance(rot_range, (list, tuple)):
+            rot_range = [-rot_range, rot_range]
+        gt_boxes, points = augmentor_utils.random_local_rotation(
+            data_dict['gt_boxes'], data_dict['points'], rot_range)
+        data_dict['gt_boxes'] = gt_boxes
+        data_dict['points'] = points
+        return data_dict
+
+    def random_local_scaling(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.random_local_scaling, config=config)
+        gt_boxes, points = augmentor_utils.random_local_scaling(
+            data_dict['gt_boxes'], data_dict['points'],
+            config.LOCAL_SCALE_RANGE)
+        data_dict['gt_boxes'] = gt_boxes
+        data_dict['points'] = points
+        return data_dict
+
+    def random_world_frustum_dropout(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.random_world_frustum_dropout, config=config)
+        intensity_range = config.INTENSITY_RANGE
+        for direction in config.get('DIRECTION', ['top']):
+            gt_boxes, points = augmentor_utils.global_frustum_dropout(
+                data_dict['gt_boxes'], data_dict['points'], intensity_range,
+                direction=direction)
+            data_dict['gt_boxes'] = gt_boxes
+            data_dict['points'] = points
+        return data_dict
+
     def forward(self, data_dict):
         for cur_augmentor in self.data_augmentor_queue:
             data_dict = cur_augmentor(data_dict=data_dict)
