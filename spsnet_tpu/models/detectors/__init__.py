@@ -8,6 +8,7 @@ from .second_net import SECONDNet
 from .pv_rcnn import PVRCNN
 from .voxel_rcnn import VoxelRCNN
 from .part_a2 import PartA2Net
+from .second_net_iou import SECONDNetIoU
 
 _DETECTORS = {
     'IASSD': IASSD,
@@ -20,6 +21,7 @@ _DETECTORS = {
     'PVRCNN': PVRCNN,
     'VoxelRCNN': VoxelRCNN,
     'PartA2Net': PartA2Net,
+    'SECONDNetIoU': SECONDNetIoU,
 }
 
 

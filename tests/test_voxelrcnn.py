@@ -106,3 +106,57 @@ def test_voxelrcnn_end2end():
                for g in jax.tree_util.tree_leaves(grads))
     assert any(np.abs(np.asarray(g)).max() > 0 for g in
                jax.tree_util.tree_leaves(grads['roi_head']))
+
+
+def test_secondiou_end2end():
+    from tests.test_pvrcnn import make_pv_batch
+    rng = np.random.default_rng(1)
+    batch, final_zyx = make_pv_batch(rng)
+    cfg = voxelrcnn_tiny_cfg(final_zyx)
+    cfg.NAME = 'SECONDNetIoU'
+    cfg.ROI_HEAD = EDict({
+        'NAME': 'SECONDHead', 'CLASS_AGNOSTIC': True,
+        'SHARED_FC': [32], 'IOU_FC': [32],
+        'ROI_GRID_POOL': {'GRID_SIZE': 4, 'IN_CHANNEL': 32},
+        'BEV_STRIDE': 8, 'IOU_WEIGHT': 0.5,
+        'NMS_CONFIG': {
+            'TRAIN': {'NMS_PRE_MAXSIZE': 64, 'NMS_POST_MAXSIZE': 16,
+                      'NMS_THRESH': 0.8},
+            'TEST': {'NMS_PRE_MAXSIZE': 64, 'NMS_POST_MAXSIZE': 8,
+                     'NMS_THRESH': 0.85}},
+        'TARGET_CONFIG': {
+            'BOX_CODER': 'ResidualCoder',
+            'ROI_PER_IMAGE': 16, 'FG_RATIO': 0.5,
+            'SAMPLE_ROI_BY_EACH_CLASS': True,
+            'CLS_SCORE_TYPE': 'roi_iou',
+            'CLS_FG_THRESH': 0.75, 'CLS_BG_THRESH': 0.25,
+            'CLS_BG_THRESH_LO': 0.1, 'HARD_BG_RATIO': 0.8,
+            'REG_FG_THRESH': 0.55},
+        'LOSS_CONFIG': {'LOSS_WEIGHTS': {'rcnn_iou_weight': 1.0}},
+    })
+    from spsnet_tpu.models import build_detector
+    from tests.test_pvrcnn import PCR, VS
+    model = build_detector(cfg, num_class=1, voxel_size=VS,
+                           point_cloud_range=PCR,
+                           final_grid_zyx=tuple(int(v) for v in final_zyx))
+    rngs = {'params': jax.random.PRNGKey(0),
+            'roi_sampling': jax.random.PRNGKey(1)}
+    variables = model.init(rngs, batch, train=True)
+    out = model.apply(variables, batch, train=False)
+    assert out['batch_box_preds'].shape == (2, 8, 7)
+    assert out['cls_preds_normalized'] is True
+
+    other = {k: v for k, v in variables.items() if k != 'params'}
+
+    def compute(params):
+        o, _ = model.apply({'params': params, **other}, batch, train=True,
+                           mutable=['batch_stats'],
+                           rngs={'roi_sampling': jax.random.PRNGKey(2)})
+        loss, _ = model.apply({'params': params, **other}, o,
+                              method=model.loss)
+        return loss
+
+    loss, grads = jax.value_and_grad(compute)(variables['params'])
+    assert np.isfinite(float(loss))
+    assert any(np.abs(np.asarray(g)).max() > 0 for g in
+               jax.tree_util.tree_leaves(grads['roi_head']))
