@@ -89,6 +89,18 @@ def weighted_smooth_l1(preds, targets, weights=None, beta=1.0 / 9.0, code_weight
     return loss
 
 
+def weighted_l1(preds, targets, weights=None, code_weights=None):
+    """Reference ``WeightedL1Loss`` (``loss_utils.py:348-393``)."""
+    targets = jnp.where(jnp.isnan(targets), preds, targets)
+    diff = preds - targets
+    if code_weights is not None:
+        diff = diff * jnp.asarray(code_weights, dtype=diff.dtype)
+    loss = jnp.abs(diff)
+    if weights is not None:
+        loss = loss * weights[..., None]
+    return loss
+
+
 def get_corner_loss_lidar(pred_boxes, gt_boxes, weights=None):
     """8-corner smooth-L1 with heading-flip min (``loss_utils.py:497-522``).
 
