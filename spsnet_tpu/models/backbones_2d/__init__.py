@@ -1,7 +1,9 @@
-from .base_bev_backbone import BaseBEVBackbone
+from .base_bev_backbone import BaseBEVBackbone, RBFusion
 
 __all__ = {
     'BaseBEVBackbone': BaseBEVBackbone,
+    'RB_Fusion': RBFusion,
+    'RBFusion': RBFusion,
 }
 
 

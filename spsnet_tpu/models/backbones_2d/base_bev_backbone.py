@@ -58,3 +58,46 @@ class BaseBEVBackbone(nn.Module):
         batch = dict(batch)
         batch['spatial_features_2d'] = x
         return batch
+
+
+class RBFusion(nn.Module):
+    """Range/BEV attention fusion (parity: ``base_bev_backbone.py:114-177``
+    class ``RB_Fusion``): the concatenated [BEV | range] feature map is gated
+    by a channel attention (global avg+max stats of each half through a
+    bottleneck MLP) and a spatial attention (3x3 conv over the four
+    channel-reduced maps), with a residual add."""
+    model_cfg: Any
+    input_channels: int = 0
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        bev_dim = int(self.model_cfg.BEV_DIM)
+        range_dim = int(self.model_cfg.RANGE_DIM)
+        x = batch['spatial_features']               # (B, H, W, C) NHWC
+        bev = x[..., :bev_dim]
+        rng = x[..., bev_dim:]
+
+        def stats(m):
+            return m.mean(axis=(1, 2)), m.max(axis=(1, 2))
+
+        bev_avg, bev_max = stats(bev)
+        rng_avg, rng_max = stats(rng)
+        channel = jnp.concatenate([bev_avg, rng_avg, bev_max, rng_max],
+                                  axis=-1)
+        channel = nn.Dense(bev_dim, use_bias=False, name='channel_fc1')(
+            channel)
+        channel = nn.relu(channel)
+        channel = nn.Dropout(0.2)(channel, deterministic=not train)
+        channel = nn.Dense(bev_dim + range_dim, name='channel_fc2')(channel)
+        channel = nn.sigmoid(channel)[:, None, None, :]
+
+        space = jnp.stack([bev.mean(axis=-1), rng.mean(axis=-1),
+                           bev.max(axis=-1), rng.max(axis=-1)], axis=-1)
+        space = nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)),
+                        name='space_conv')(space)
+        space = nn.sigmoid(space)
+
+        out = space * (channel * x) + x
+        batch = dict(batch)
+        batch['spatial_features_2d'] = out
+        return batch

@@ -97,8 +97,10 @@ def assign_center_targets(gt_boxes, num_classes, feature_map_size,
     ret_boxes = ret_boxes.at[:, 7].set(jnp.sin(gt_boxes[take, 6]))
     ret_boxes = jnp.where(sl_valid[:, None], ret_boxes, 0.0)
     inds = jnp.where(sl_valid, cint_y[take] * W + cint_x[take], 0)
+    # raw (7,) gt box per slot — consumed by CenterHeadIoU's IoU target
+    gt_raw = jnp.where(sl_valid[:, None], gt_boxes[take, :7], 0.0)
     return heatmap, ret_boxes, inds.astype(jnp.int32), \
-        sl_valid.astype(jnp.int32)
+        sl_valid.astype(jnp.int32), gt_raw
 
 
 def gaussian_focal_loss(pred_hm, gt_hm, eps=1e-4):
@@ -153,7 +155,7 @@ class CenterHead(nn.Module):
 
         if train and 'gt_boxes' in batch:
             tac = self.model_cfg.TARGET_ASSIGNER_CONFIG
-            hm_t, boxes_t, inds_t, mask_t = jax.vmap(
+            hm_t, boxes_t, inds_t, mask_t, _ = jax.vmap(
                 lambda gt: assign_center_targets(
                     gt, self.num_class, (W, H), self.feature_map_stride,
                     np.asarray(self.voxel_size, np.float32),

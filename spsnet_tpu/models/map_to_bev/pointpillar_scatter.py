@@ -18,6 +18,9 @@ class PointPillarScatter(nn.Module):
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
+        if 'spatial_features' in batch:
+            # DynamicPillarVFE already scattered straight into the canvas
+            return batch
         feats = batch['pillar_features']            # (B, V, C)
         coords = batch['voxel_coords']              # (B, V, 3) zyx
         valid = batch.get('voxel_valid', None)

@@ -201,6 +201,29 @@ def boxes_iou3d(boxes_a, boxes_b):
 
 
 @jax.jit
+def boxes_iou3d_paired(boxes_a, boxes_b):
+    """Matched-pair 3D IoU, (N, 7) x (N, 7) -> (N,).
+
+    Equivalent to ``boxes_iou3d_gpu(a, b).diag()`` as used by the reference's
+    ``IouLoss`` (``loss_utils.py:218-228``) but O(N) instead of O(N^2): one
+    vmapped exact-quad overlap per pair.
+    """
+    ca = _bev_corners(boxes_a)
+    cb = _bev_corners(boxes_b)
+    overlap_bev = jax.vmap(_quad_overlap)(ca, cb)
+    a_top = boxes_a[:, 2] + boxes_a[:, 5] / 2
+    a_bot = boxes_a[:, 2] - boxes_a[:, 5] / 2
+    b_top = boxes_b[:, 2] + boxes_b[:, 5] / 2
+    b_bot = boxes_b[:, 2] - boxes_b[:, 5] / 2
+    overlap_h = jnp.clip(jnp.minimum(a_top, b_top) - jnp.maximum(a_bot, b_bot),
+                         0, None)
+    overlap_3d = overlap_bev * overlap_h
+    vol_a = boxes_a[:, 3] * boxes_a[:, 4] * boxes_a[:, 5]
+    vol_b = boxes_b[:, 3] * boxes_b[:, 4] * boxes_b[:, 5]
+    return overlap_3d / jnp.clip(vol_a + vol_b - overlap_3d, 1e-6, None)
+
+
+@jax.jit
 def points_in_boxes(points, boxes):
     """Assign points to the first containing rotated box.
 

@@ -49,7 +49,7 @@ def test_heatmap_target_peaks_at_gt():
     from spsnet_tpu.models.dense_heads.center_head import assign_center_targets
     gt = np.zeros((4, 8), dtype=np.float32)
     gt[0] = [12.8, 0.0, -1.0, 3.9, 1.6, 1.56, 0.3, 1]
-    hm, boxes, inds, mask = assign_center_targets(
+    hm, boxes, inds, mask, gt7 = assign_center_targets(
         jnp.asarray(gt), 3, (64, 64), 1,
         np.array([0.4, 0.4, 4], np.float32),
         np.array(PCR, np.float32), num_max_objs=8)

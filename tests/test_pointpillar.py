@@ -108,3 +108,64 @@ def test_anchor_assignment_positive_on_exact_match():
     assert (labels >= -1).all()
     assert np.asarray(reg_t)[100].max() < 1e-5    # zero residual
     assert (labels == 1).sum() >= 1
+
+
+def test_dynamic_pillar_vfe_matches_canvas():
+    """DynamicPillarVFE's device voxelization must agree with the host
+    PillarVFE + scatter path on pillar occupancy (which cells are hit)."""
+    from spsnet_tpu.config import StaticConfig
+    from spsnet_tpu.models.vfe import build_vfe
+    rng = np.random.default_rng(3)
+    N = 400
+    pts = np.zeros((1, N, 4), dtype=np.float32)
+    pts[0, :, 0] = rng.uniform(0.5, 25, N)
+    pts[0, :, 1] = rng.uniform(-12, 12, N)
+    pts[0, :, 2] = rng.uniform(-2, 0.5, N)
+    cfg = EDict({'USE_NORM': True, 'WITH_DISTANCE': False,
+                 'USE_ABSLOTE_XYZ': True, 'NUM_FILTERS': [16, 16]})
+    vfe = build_vfe('DynamicPillarVFE', model_cfg=StaticConfig(cfg),
+                    num_point_features=4,
+                    voxel_size=tuple(VOXEL), point_cloud_range=tuple(PCR))
+    batch = {'points': jnp.asarray(pts)}
+    variables = vfe.init(jax.random.PRNGKey(0), batch, train=False)
+    out = vfe.apply(variables, batch, train=False)
+    canvas = np.asarray(out['spatial_features'])   # (1, ny, nx, 16)
+    nx = int(round((PCR[3] - PCR[0]) / VOXEL[0]))
+    ny = int(round((PCR[4] - PCR[1]) / VOXEL[1]))
+    assert canvas.shape == (1, ny, nx, 16)
+    # occupancy must match a numpy reference voxelization
+    ix = np.floor((pts[0, :, 0] - PCR[0]) / VOXEL[0]).astype(int)
+    iy = np.floor((pts[0, :, 1] - PCR[1]) / VOXEL[1]).astype(int)
+    ok = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+    occ_ref = np.zeros((ny, nx), dtype=bool)
+    occ_ref[iy[ok], ix[ok]] = True
+    occ = np.abs(canvas[0]).sum(-1) > 0
+    # relu can zero a whole pillar's features; occupied-from-canvas must be
+    # a subset of the true occupancy, and cover most of it
+    assert not (occ & ~occ_ref).any()
+    assert (occ & occ_ref).sum() > 0.5 * occ_ref.sum()
+
+
+def test_dynamic_pillar_vfe_end2end():
+    """PointPillars with DynamicPillarVFE (no host voxelization at all)."""
+    cfg = tiny_pointpillar_cfg()
+    cfg.VFE = EDict({'NAME': 'DynamicPillarVFE', 'USE_NORM': True,
+                     'WITH_DISTANCE': False, 'USE_ABSLOTE_XYZ': True,
+                     'NUM_FILTERS': [16, 16]})
+    cfg.MAP_TO_BEV.NUM_BEV_FEATURES = 16
+    model = build_detector(cfg, num_class=3, voxel_size=tuple(VOXEL),
+                           point_cloud_range=tuple(PCR))
+    rng = np.random.default_rng(1)
+    batch = make_batch(rng)
+    N = 600
+    pts = np.zeros((2, N, 4), dtype=np.float32)
+    pts[:, :, 0] = rng.uniform(0.5, 25, (2, N))
+    pts[:, :, 1] = rng.uniform(-12, 12, (2, N))
+    pts[:, :, 2] = rng.uniform(-2, 0.5, (2, N))
+    batch = {'points': jnp.asarray(pts), 'gt_boxes': batch['gt_boxes']}
+    variables = jax.jit(model.init, static_argnames='train')(
+        jax.random.PRNGKey(0), batch, train=True)
+    out, _ = model.apply(variables, batch, train=True,
+                         mutable=['batch_stats'])
+    loss, tb = model.apply(variables, out, method=model.loss)
+    assert np.isfinite(float(loss))
