@@ -101,6 +101,20 @@ class DataAugmentor:
         data_dict['points'] = points
         return data_dict
 
+    def random_local_pyramid_aug(self, data_dict=None, config=None):
+        """SE-SSD frustum dropout/sparsify/swap
+        (``data_augmentor.py:246-267``)."""
+        if data_dict is None:
+            return partial(self.random_local_pyramid_aug, config=config)
+        from . import pyramid_augs
+        gt_boxes, points = pyramid_augs.random_local_pyramid_aug(
+            data_dict['gt_boxes'], data_dict['points'],
+            config.DROP_PROB, config.SPARSIFY_PROB, config.SPARSIFY_MAX_NUM,
+            config.SWAP_PROB, config.SWAP_MAX_NUM)
+        data_dict['gt_boxes'] = gt_boxes
+        data_dict['points'] = points
+        return data_dict
+
     def random_world_frustum_dropout(self, data_dict=None, config=None):
         if data_dict is None:
             return partial(self.random_world_frustum_dropout, config=config)
