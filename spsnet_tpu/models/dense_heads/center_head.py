@@ -170,6 +170,7 @@ class CenterHead(nn.Module):
         # decode: peak NMS + top-K
         K = int(self.model_cfg.POST_CONFIG.get('MAX_OBJ_PER_SAMPLE', 500)) \
             if self.model_cfg.get('POST_CONFIG', None) else 500
+        K = min(K, H * W * self.num_class)
         hm_sig = jax.nn.sigmoid(hm)
         hm_max = nn.max_pool(hm_sig, (3, 3), strides=(1, 1),
                              padding=((1, 1), (1, 1)))

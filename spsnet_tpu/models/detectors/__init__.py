@@ -10,6 +10,7 @@ from .voxel_rcnn import VoxelRCNN
 from .part_a2 import PartA2Net
 from .second_net_iou import SECONDNetIoU
 from .al_net import ALNet
+from .pv_rcnn_plusplus import PVRCNNPlusPlus
 
 _DETECTORS = {
     'IASSD': IASSD,
@@ -25,6 +26,7 @@ _DETECTORS = {
     'CenterPoint': CenterPoint,
     'SECONDNet': SECONDNet,
     'PVRCNN': PVRCNN,
+    'PVRCNNPlusPlus': PVRCNNPlusPlus,
     'VoxelRCNN': VoxelRCNN,
     'PartA2Net': PartA2Net,
     'SECONDNetIoU': SECONDNetIoU,

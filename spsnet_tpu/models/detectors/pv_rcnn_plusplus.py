@@ -1,0 +1,102 @@
+"""PV-RCNN++ detector (parity: ``detectors/pv_rcnn_plusplus.py``).
+
+Differences from PV-RCNN: the dense head is a CenterHead, roi proposals +
+targets are computed BEFORE the PFE (so VoxelSetAbstraction can do
+sectorized proposal-centric keypoint sampling), and both the VSA sources and
+the RoI grid pool use VectorPool aggregation instead of MSG ball-query
+PointNets. One fixed-shape jitted program like the rest of the zoo.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import numpy as np
+
+from ..backbones_2d import build_backbone_2d
+from ..backbones_3d.spconv_backbone import HeightCompression, VoxelBackBone8x
+from ..dense_heads.center_head import CenterHead, center_head_loss
+from ..dense_heads.point_head_simple import (PointHeadSimple,
+                                             point_head_simple_loss)
+from ..pfe import build_pfe
+from ..roi_heads.pointrcnn_head import pointrcnn_head_loss
+from ..roi_heads.pvrcnn_head import PVRCNNHead
+from ..vfe import build_vfe
+
+
+class PVRCNNPlusPlus(nn.Module):
+    model_cfg: Any
+    num_class: int
+    voxel_size: Any = (0.05, 0.05, 0.1)
+    point_cloud_range: Any = (0, -40, -3, 70.4, 40, 1)
+    num_point_features: int = 4
+    final_grid_zyx: Any = (2, 200, 176)
+
+    def setup(self):
+        pcr = np.asarray(self.point_cloud_range, dtype=np.float32)
+        vs = np.asarray(self.voxel_size, dtype=np.float32)
+        self.grid_size = tuple(
+            int(x) for x in np.round((pcr[3:6] - pcr[0:3]) / vs))
+        self.vfe = build_vfe(self.model_cfg.VFE.NAME,
+                             model_cfg=self.model_cfg.VFE,
+                             num_point_features=self.num_point_features)
+        self.backbone_3d = VoxelBackBone8x(
+            model_cfg=self.model_cfg.BACKBONE_3D,
+            input_channels=self.num_point_features)
+        self.map_to_bev_module = HeightCompression(
+            model_cfg=self.model_cfg.MAP_TO_BEV,
+            grid_zyx=tuple(int(v) for v in self.final_grid_zyx))
+        self.backbone_2d = build_backbone_2d(
+            self.model_cfg.BACKBONE_2D.NAME,
+            model_cfg=self.model_cfg.BACKBONE_2D,
+            input_channels=int(self.model_cfg.MAP_TO_BEV.NUM_BEV_FEATURES))
+        self.dense_head = CenterHead(
+            model_cfg=self.model_cfg.DENSE_HEAD,
+            num_class=self.num_class,
+            grid_size=self.grid_size,
+            voxel_size=tuple(float(v) for v in vs),
+            point_cloud_range=tuple(float(v) for v in pcr))
+        self.pfe = build_pfe(
+            self.model_cfg.PFE.NAME,
+            model_cfg=self.model_cfg.PFE,
+            voxel_size=tuple(float(v) for v in vs),
+            point_cloud_range=tuple(float(v) for v in pcr),
+            bev_stride=8)
+        self.point_head = PointHeadSimple(
+            model_cfg=self.model_cfg.POINT_HEAD, num_class=1)
+        self.roi_head = PVRCNNHead(
+            model_cfg=self.model_cfg.ROI_HEAD,
+            num_class=1 if self.model_cfg.ROI_HEAD.CLASS_AGNOSTIC
+            else self.num_class)
+
+    def __call__(self, batch, train: bool = True):
+        batch = self.vfe(batch, train=train)
+        batch = self.backbone_3d(batch, train=train)
+        batch = self.map_to_bev_module(batch, train=train)
+        batch = self.backbone_2d(batch, train=train)
+        batch = self.dense_head(batch, train=train)
+
+        # proposals first: SPC keypoint sampling needs the rois
+        pre = self.roi_head.propose_and_assign(batch, train=train)
+        batch = dict(batch)
+        batch['rois'] = pre['rois']
+        batch['roi_labels'] = pre['roi_labels']
+
+        batch = self.pfe(batch, train=train)
+        batch = self.point_head(batch, train=train)
+        batch = self.roi_head(batch, train=train, precomputed=pre)
+        return batch
+
+    def loss(self, batch):
+        cfg = self.model_cfg
+        l_rpn, tb1 = center_head_loss(
+            batch['center_head_ret'], cfg.DENSE_HEAD.LOSS_CONFIG)
+        l_pt, tb2 = point_head_simple_loss(
+            batch['point_head_simple_ret'], cfg.POINT_HEAD.LOSS_CONFIG)
+        l_rcnn, tb3 = pointrcnn_head_loss(
+            batch['roi_head_ret'], cfg.ROI_HEAD.LOSS_CONFIG,
+            self.roi_head.box_coder)
+        tb = dict(tb1)
+        tb.update(tb2)
+        tb.update(tb3)
+        return l_rpn + l_pt + l_rcnn, tb

@@ -46,11 +46,21 @@ class PVRCNNHead(nn.Module):
             self.model_cfg.TARGET_CONFIG.BOX_CODER)
         pool = self.model_cfg.ROI_GRID_POOL
         self.grid_size = int(pool.GRID_SIZE)
-        self.pool_radii = [float(r) for r in pool.POOL_RADIUS]
-        self.pool_nsamples = [int(n) for n in pool.NSAMPLE]
-        self.pool_mlps = [list(m) for m in pool.MLPS]
-        self.pool_layers = [SharedMLP(m, name=f'pool_mlp_{i}')
-                            for i, m in enumerate(self.pool_mlps)]
+        # PV-RCNN++ swaps the MSG ball-query PointNet for VectorPool
+        # aggregation (``pv_rcnn_plusplus.yaml ROI_GRID_POOL``)
+        self.use_vector_pool = \
+            str(pool.get('NAME', '')) == 'VectorPoolAggregationModuleMSG'
+        if self.use_vector_pool:
+            from ..model_utils.vector_pool import VectorPoolAggregationMSG
+            self.vp_pool = VectorPoolAggregationMSG(
+                model_cfg=pool, input_channels=int(
+                    pool.get('IN_CHANNEL', 90)), name='vp_pool')
+        else:
+            self.pool_radii = [float(r) for r in pool.POOL_RADIUS]
+            self.pool_nsamples = [int(n) for n in pool.NSAMPLE]
+            self.pool_mlps = [list(m) for m in pool.MLPS]
+            self.pool_layers = [SharedMLP(m, name=f'pool_mlp_{i}')
+                                for i, m in enumerate(self.pool_mlps)]
         self.shared_fc = SharedMLP(list(self.model_cfg.SHARED_FC),
                                    name='shared_fc')
         self.cls_layers = MLPHead(list(self.model_cfg.CLS_FC), self.num_class,
@@ -84,6 +94,14 @@ class PVRCNNHead(nn.Module):
         grid = roi_grid_points(rois[..., :7], self.grid_size)
         grid_flat = grid.reshape(B, R * G3, 3)
 
+        if self.use_vector_pool:
+            kp_masked = kp
+            if 'point_valid' in batch:
+                kp_masked = jnp.where(batch['point_valid'][..., None], kp,
+                                      1e6)
+            pooled = self.vp_pool(kp_masked, kp_feats, grid_flat, train=train)
+            return pooled.reshape(B, R, G3 * pooled.shape[-1])
+
         scale_feats = []
         for i, (r, ns) in enumerate(zip(self.pool_radii, self.pool_nsamples)):
             grouped, _ = ops.query_and_group(r, ns, kp, grid_flat, kp_feats)
@@ -92,12 +110,14 @@ class PVRCNNHead(nn.Module):
         pooled = jnp.concatenate(scale_feats, axis=-1)   # (B, R*G3, C)
         return pooled.reshape(B, R, G3 * pooled.shape[-1])
 
-    def __call__(self, batch, train: bool = True):
+    def propose_and_assign(self, batch, train: bool = True):
+        """Proposal NMS + (train) roi target sampling, callable BEFORE the
+        PFE (PV-RCNN++ runs it first so SPC keypoint sampling sees the rois,
+        ``pv_rcnn_plusplus.py:16-27``)."""
         nms_cfg = self.model_cfg.NMS_CONFIG.TRAIN if train \
             else self.model_cfg.NMS_CONFIG.TEST
         rois, roi_scores, roi_labels, roi_valid = self.proposal_layer(
             batch, nms_cfg)
-
         targets = None
         if train and 'gt_boxes' in batch:
             rng = self.make_rng('roi_sampling')
@@ -106,6 +126,17 @@ class PVRCNNHead(nn.Module):
                 batch['gt_boxes'], self.model_cfg.TARGET_CONFIG)
             rois = targets.rois
             roi_labels = targets.roi_labels
+        return {'rois': rois, 'roi_labels': roi_labels, 'targets': targets}
+
+    def __call__(self, batch, train: bool = True, precomputed=None):
+        if precomputed is not None:
+            rois = precomputed['rois']
+            roi_labels = precomputed['roi_labels']
+            targets = precomputed['targets']
+        else:
+            pre = self.propose_and_assign(batch, train=train)
+            rois, roi_labels, targets = (pre['rois'], pre['roi_labels'],
+                                         pre['targets'])
 
         pooled = self.roi_grid_pool(batch, rois, train)  # (B, R, G3*C)
         shared = self.shared_fc(pooled, train=train)

@@ -63,7 +63,11 @@ def _farthest_point_sample_xla(xyz, npoint: int, valid_mask=None):
     if valid_mask is not None:
         # Invalid points keep dist -1 so any valid point beats them at argmax.
         dist = jnp.where(valid_mask, dist, -1.0)
-    idx0 = jnp.zeros((B,), dtype=jnp.int32)
+        # Seed at the FIRST VALID point: matches compact-then-FPS (the CUDA
+        # kernel's `old = 0` on a compacted subset = its first point).
+        idx0 = jnp.argmax(valid_mask, axis=1).astype(jnp.int32)
+    else:
+        idx0 = jnp.zeros((B,), dtype=jnp.int32)
 
     def body(i, carry):
         dist, last, out = carry
