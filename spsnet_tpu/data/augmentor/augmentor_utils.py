@@ -146,3 +146,25 @@ def global_scaling(gt_boxes, points, scale_range, scale=None):
     points[:, :3] *= scale
     gt_boxes[:, :6] *= scale
     return gt_boxes, points
+
+
+def random_image_flip_horizontal(image, depth_map, gt_boxes, calib,
+                                 enable=None):
+    """CaDDN horizontal image flip (``augmentor_utils.py:159-197``): flip the
+    image/depth map, mirror box centroids through image space, negate ry."""
+    if enable is None:
+        enable = np.random.choice([False, True], replace=False, p=[0.5, 0.5])
+    if not enable:
+        return image, depth_map, gt_boxes
+    aug_image = np.fliplr(image)
+    aug_depth = np.fliplr(depth_map)
+    aug_boxes = gt_boxes.copy()
+    if len(aug_boxes):
+        img_pts, img_depth = calib.lidar_to_img(aug_boxes[:, :3])
+        W = image.shape[1]
+        img_pts[:, 0] = W - img_pts[:, 0]
+        pts_rect = calib.img_to_rect(u=img_pts[:, 0], v=img_pts[:, 1],
+                                     depth_rect=img_depth)
+        aug_boxes[:, :3] = calib.rect_to_lidar(pts_rect)
+        aug_boxes[:, 6] = -aug_boxes[:, 6]
+    return aug_image, aug_depth, aug_boxes

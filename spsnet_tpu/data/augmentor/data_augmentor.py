@@ -101,6 +101,20 @@ class DataAugmentor:
         data_dict['points'] = points
         return data_dict
 
+    def random_image_flip(self, data_dict=None, config=None):
+        """CaDDN camera flip (``data_augmentor.py:123-140``)."""
+        if data_dict is None:
+            return partial(self.random_image_flip, config=config)
+        for axis in config.get('ALONG_AXIS_LIST', ['horizontal']):
+            assert axis == 'horizontal'
+            img, depth, boxes = augmentor_utils.random_image_flip_horizontal(
+                data_dict['images'], data_dict['depth_maps'],
+                data_dict['gt_boxes'], data_dict['calib'])
+        data_dict['images'] = img
+        data_dict['depth_maps'] = depth
+        data_dict['gt_boxes'] = boxes
+        return data_dict
+
     def random_local_pyramid_aug(self, data_dict=None, config=None):
         """SE-SSD frustum dropout/sparsify/swap
         (``data_augmentor.py:246-267``)."""

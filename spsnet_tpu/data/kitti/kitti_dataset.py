@@ -64,6 +64,34 @@ class KittiDataset(DatasetTemplate):
         return kitti_utils.get_objects_from_label(
             str(self.root_split_path / 'label_2' / f'{idx}.txt'))
 
+    def get_image(self, idx):
+        """(H, W, 3) float32 in [0, 1] (parity: reference ``get_image``)."""
+        from PIL import Image
+        img = Image.open(str(self.root_split_path / 'image_2' / f'{idx}.png'))
+        return np.asarray(img, dtype=np.float32) / 255.0
+
+    def get_depth_map(self, idx):
+        """(H, W) float32 metres. Loads ``depth_2`` maps like the reference
+        (uint16 png / 256); if absent, projects the lidar sweep instead —
+        a sparse but dependency-free fallback."""
+        depth_file = self.root_split_path / 'depth_2' / f'{idx}.png'
+        if depth_file.exists():
+            from PIL import Image
+            d = np.asarray(Image.open(str(depth_file)), dtype=np.float32)
+            return d / 256.0
+        calib = self.get_calib(idx)
+        shape = self.get_image_shape(idx)
+        pts = self.get_lidar(idx)[:, :3]
+        pts_rect = calib.lidar_to_rect(pts)
+        pts_img, depth = calib.rect_to_img(pts_rect)
+        u = np.round(pts_img[:, 0]).astype(np.int64)
+        v = np.round(pts_img[:, 1]).astype(np.int64)
+        ok = (u >= 0) & (u < shape[1]) & (v >= 0) & (v < shape[0]) & \
+            (depth > 0)
+        out = np.zeros((int(shape[0]), int(shape[1])), np.float32)
+        out[v[ok], u[ok]] = depth[ok]
+        return out
+
     def get_image_shape(self, idx):
         try:
             from PIL import Image
@@ -105,12 +133,27 @@ class KittiDataset(DatasetTemplate):
                 gt_boxes_camera, calib)
             input_dict.update({'gt_names': gt_names, 'gt_boxes': gt_boxes_lidar})
 
-        points = self.get_lidar(sample_idx)
-        if self.dataset_cfg.FOV_POINTS_ONLY:
-            pts_rect = calib.lidar_to_rect(points[:, 0:3])
-            fov_flag = self.get_fov_flag(pts_rect, img_shape, calib)
-            points = points[fov_flag]
-        input_dict['points'] = points
+        get_item_list = list(self.dataset_cfg.get('GET_ITEM_LIST', ['points']))
+        if 'annos' in info and 'gt_boxes2d' in get_item_list:
+            input_dict['gt_boxes2d'] = \
+                kitti_utils.drop_info_with_name(
+                    info['annos'], name='DontCare')['bbox']
+
+        if 'points' in get_item_list:
+            points = self.get_lidar(sample_idx)
+            if self.dataset_cfg.FOV_POINTS_ONLY:
+                pts_rect = calib.lidar_to_rect(points[:, 0:3])
+                fov_flag = self.get_fov_flag(pts_rect, img_shape, calib)
+                points = points[fov_flag]
+            input_dict['points'] = points
+        if 'images' in get_item_list:
+            input_dict['images'] = self.get_image(sample_idx)
+        if 'depth_maps' in get_item_list:
+            input_dict['depth_maps'] = self.get_depth_map(sample_idx)
+        if 'calib_matricies' in get_item_list:
+            (input_dict['trans_lidar_to_cam'],
+             input_dict['trans_cam_to_img']) = \
+                kitti_utils.calib_to_matricies(calib)
 
         data_dict = self.prepare_data(data_dict=input_dict)
         data_dict['image_shape'] = img_shape

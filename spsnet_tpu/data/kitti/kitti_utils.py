@@ -117,3 +117,13 @@ def drop_info_with_name(info, name):
             ret_info[key] = info[key]
     # 'name' handled above; keep order
     return ret_info
+
+
+def calib_to_matricies(calib):
+    """Calibration -> (lidar->rect-camera (4, 4), projection P2 (3, 4))
+    (parity: ``datasets/kitti/kitti_utils.py:52-66``)."""
+    V2C = np.vstack((calib.V2C,
+                     np.array([0, 0, 0, 1], dtype=np.float32)))
+    R0 = np.hstack((calib.R0, np.zeros((3, 1), dtype=np.float32)))
+    R0 = np.vstack((R0, np.array([0, 0, 0, 1], dtype=np.float32)))
+    return (R0 @ V2C).astype(np.float32), calib.P2.astype(np.float32)

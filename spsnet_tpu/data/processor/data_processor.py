@@ -226,6 +226,36 @@ class DataProcessor:
         data_dict['voxel_valid'] = (np.arange(max_voxels) < n_voxels)
         return data_dict
 
+    def calculate_grid_size(self, data_dict=None, config=None):
+        """Camera-only configs: record grid/voxel size without voxelizing
+        (parity: ``data_processor.py:255-261``)."""
+        if data_dict is None:
+            grid = (self.point_cloud_range[3:6] - self.point_cloud_range[0:3]) \
+                / np.array(config.VOXEL_SIZE)
+            self.grid_size = np.round(grid).astype(np.int64)
+            self.voxel_size = config.VOXEL_SIZE
+            from functools import partial
+            return partial(self.calculate_grid_size, config=config)
+        return data_dict
+
+    def downsample_depth_map(self, data_dict=None, config=None):
+        """Block-mean downsample of the depth map (parity:
+        ``data_processor.py:263-272`` — skimage.downscale_local_mean without
+        the skimage dependency)."""
+        if data_dict is None:
+            from functools import partial
+            self.depth_downsample_factor = int(config.DOWNSAMPLE_FACTOR)
+            return partial(self.downsample_depth_map, config=config)
+        f = self.depth_downsample_factor
+        d = data_dict['depth_maps']
+        H, W = d.shape
+        ph, pw = (-H) % f, (-W) % f
+        if ph or pw:                                   # zero-pad like skimage
+            d = np.pad(d, ((0, ph), (0, pw)))
+        data_dict['depth_maps'] = d.reshape(
+            d.shape[0] // f, f, d.shape[1] // f, f).mean(axis=(1, 3))
+        return data_dict
+
     def build_sparse_conv_plan(self, data_dict=None, config=None):
         """Host-side sparse-conv planning for the voxel backbones (see
         ``sparse_plan.py``); run after ``transform_points_to_voxels``."""

@@ -11,6 +11,7 @@ from .part_a2 import PartA2Net
 from .second_net_iou import SECONDNetIoU
 from .al_net import ALNet
 from .pv_rcnn_plusplus import PVRCNNPlusPlus
+from .caddn import CaDDN
 
 _DETECTORS = {
     'IASSD': IASSD,
@@ -27,6 +28,7 @@ _DETECTORS = {
     'SECONDNet': SECONDNet,
     'PVRCNN': PVRCNN,
     'PVRCNNPlusPlus': PVRCNNPlusPlus,
+    'CaDDN': CaDDN,
     'VoxelRCNN': VoxelRCNN,
     'PartA2Net': PartA2Net,
     'SECONDNetIoU': SECONDNetIoU,
