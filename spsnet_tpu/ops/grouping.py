@@ -25,14 +25,29 @@ _BIG = jnp.int32(2 ** 30)
 
 
 def _query_d2(ctr, xyz):
-    """Squared center-to-point distances (B, chunk, N), direct (a-b)^2 fp32.
+    """Squared center-to-point distances (B, chunk, N).
 
-    Matches the CUDA kernel's boundary arithmetic bit-for-bit (the parity
-    tests' spec). NOTE: the |a|^2+|b|^2-2ab MXU form was tried with
-    Precision.HIGHEST — runtime-attractive but the 6-pass fp32 matmul
-    expansion blows XLA compile time from ~1 min to >5 min at IA-SSD sizes;
-    bf16 matmuls are numerically unusable here (coords ~35 m, radii 0.2 m).
+    CPU: direct (a-b)^2 fp32 — bit-matches the CUDA kernel's boundary
+    arithmetic (the parity tests' spec).
+    TPU: |a|^2+|b|^2-2ab with Precision.HIGHEST — the cross term rides the
+    MXU's 6-pass fp32 path, ~2x faster than the diff form at IA-SSD layer-1
+    sizes (12.8 vs 23.5 ms piped, B=8 M=4096 N=16384 on v5e) because the
+    (B, M, N, 3) broadcast intermediate never materializes. Max |d2| error
+    vs fp64 is ~1.5e-3 at 35 m coords — the same order as the CUDA fp32
+    diff-form's own rounding at the radius boundary, so only points within
+    that band of the radius can flip in/out. (bf16/bf16_3x matmuls are
+    unusable: ~1e0 error at these magnitudes.)
+    Compile note: an earlier HIGHEST experiment blew compile time >5 min;
+    measured again in isolation it compiles in ~15 s — the blowup came from
+    a different surrounding fusion, not the 6-pass expansion itself.
     """
+    if jax.default_backend() == 'tpu':
+        qq = jnp.sum(ctr * ctr, axis=-1)[:, :, None]
+        xx = jnp.sum(xyz * xyz, axis=-1)[:, None, :]
+        qx = jax.lax.dot_general(
+            ctr, xyz, (((2,), (2,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST)
+        return qq + xx - 2.0 * qx
     diff = ctr[:, :, None, :] - xyz[:, None, :, :]       # (B, chunk, N, 3)
     return (diff[..., 0] * diff[..., 0] + diff[..., 1] * diff[..., 1]
             + diff[..., 2] * diff[..., 2])
@@ -61,7 +76,12 @@ def _first_k_hits(hit, nsample, method='auto'):
     idx_n = jnp.arange(n, dtype=jnp.int32)
     if method == 'approx':
         key = jnp.where(hit, -idx_n.astype(jnp.float32), -jnp.float32(2e30))
-        vals, _ = jax.lax.approx_max_k(key, nsample)
+        # recall_target 0.8 halves the PartialReduce aggregation cost vs the
+        # 0.95 default (11 vs 24 ms for the IA-SSD layer-1 MSG pair on v5e);
+        # a missed early index just lets a later in-radius point take the
+        # slot — invisible through the max-pooled grouping, same relaxation
+        # class as approx itself
+        vals, _ = jax.lax.approx_max_k(key, nsample, recall_target=0.8)
         idx = (-vals).astype(jnp.int32)
         valid = vals > -1e30
     else:
@@ -200,12 +220,18 @@ def query_and_group(radius, nsample, xyz, new_xyz, features=None, use_xyz=True,
         else:
             idx = ball_query_dilated(min_radius, radius, nsample, xyz, new_xyz,
                                      chunk=chunk)
-    grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
     if features is not None:
-        grouped_features = group_points(features, idx)
+        # ONE gather for xyz+features: TPU dynamic-gather cost is per ROW
+        # (~8 us / 1k rows regardless of row width, measured on v5e), so two
+        # separate gathers of the same 1.5M neighbor rows double the cost
+        grouped = group_points(
+            jnp.concatenate([xyz, features], axis=-1), idx)
+        grouped_xyz = grouped[..., :3] - new_xyz[:, :, None, :]
+        grouped_features = grouped[..., 3:]
         if use_xyz:
             return jnp.concatenate([grouped_xyz, grouped_features], axis=-1), idx
         return grouped_features, idx
+    grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
     assert use_xyz, 'cannot have no features and not use xyz'
     return grouped_xyz, idx
 

@@ -164,9 +164,109 @@ def farthest_point_sample_pallas_batched(xyz, npoint: int,
     return out.reshape(B, Mr * _LANE)[:, :npoint]
 
 
+def _fps_kernel_unrolled_b(nvalid_ref, x_ref, y_ref, z_ref, out_ref,
+                           dist_ref):
+    """ALL batch rows in ONE step loop, python-unrolled over B.
+
+    The per-batch grid kernel pays the full M-step dependency chain B times
+    (grid steps run sequentially on one core). Here each fori step advances
+    every batch's chain once using the exact (R, 128) per-batch ops of
+    ``_fps_kernel`` on static slices — no (B, 1, 1) broadcasts or multi-axis
+    reduces, so Mosaic lowers it where ``_fps_kernel_batched`` failed. The B
+    independent chains interleave in the VPU pipeline: measured 2.6x faster
+    than the grid kernel at B=8, 16384->4096 on v5e (8.5 vs 21.7 ms).
+    """
+    n_valid = nvalid_ref[0]
+    B = x_ref.shape[0]
+    R = x_ref.shape[1]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, _LANE), 0)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (R, _LANE), 1)
+    flat_ids = row_ids * _LANE + lane_ids
+    valid = flat_ids < n_valid
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+
+    for b in range(B):
+        dist_ref[b] = jnp.where(valid, _BIG_F, -1.0)
+
+    def write(b, j, val):
+        r = j // _LANE
+        c = j % _LANE
+        row = out_ref[b, pl.ds(r, 1), :]
+        out_ref[b, pl.ds(r, 1), :] = jnp.where(lane_row == c, val, row)
+
+    for b in range(B):
+        write(b, 0, jnp.int32(0))
+
+    def body(j, carry):
+        out = []
+        for b in range(B):
+            x1, y1, z1 = carry[b]
+            x = x_ref[b]
+            y = y_ref[b]
+            z = z_ref[b]
+            d2 = (x - x1) ** 2 + (y - y1) ** 2 + (z - z1) ** 2
+            nd = jnp.minimum(dist_ref[b], jnp.where(valid, d2, -1.0))
+            dist_ref[b] = nd
+            m = jnp.max(nd)
+            nxt = jnp.min(jnp.where(nd == m, flat_ids, jnp.int32(_BIG_I)))
+            write(b, j, nxt)
+            sel = flat_ids == nxt
+            out.append((jnp.sum(jnp.where(sel, x, 0.0)),
+                        jnp.sum(jnp.where(sel, y, 0.0)),
+                        jnp.sum(jnp.where(sel, z, 0.0))))
+        return tuple(out)
+
+    seed = tuple((x_ref[b, 0, 0], y_ref[b, 0, 0], z_ref[b, 0, 0])
+                 for b in range(B))
+    jax.lax.fori_loop(1, out_ref.shape[1] * _LANE, body, seed, unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=('npoint', 'interpret'))
+def _fps_pallas_allbatch(xyz, npoint: int, interpret: bool = False):
+    """One-program dispatch of ``_fps_kernel_unrolled_b``."""
+    B, N, _ = xyz.shape
+    pad = (-N) % _LANE
+    R = (N + pad) // _LANE
+    xyz_p = jnp.pad(xyz, ((0, 0), (0, pad), (0, 0)))
+    planes = [xyz_p[..., i].reshape(B, R, _LANE) for i in range(3)]
+    n_valid = jnp.full((1,), N, dtype=jnp.int32)
+    Mr = -(-npoint // _LANE)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec((B, R, _LANE), lambda g, nv: (0, 0, 0),
+                               memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec((B, Mr, _LANE), lambda g, nv: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((B, R, _LANE), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        _fps_kernel_unrolled_b,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Mr, _LANE), jnp.int32),
+        interpret=interpret,
+    )(n_valid, *planes)
+    return out.reshape(B, Mr * _LANE)[:, :npoint]
+
+
 @functools.partial(jax.jit, static_argnames=('npoint', 'interpret'))
 def farthest_point_sample_pallas(xyz, npoint: int, interpret: bool = False):
-    """(B, N, 3) -> (B, npoint) int32; N and npoint padded to 128 lanes."""
+    """(B, N, 3) -> (B, npoint) int32; N and npoint padded to 128 lanes.
+
+    Dispatch: the unrolled-B single-program kernel when the working set
+    fits comfortably in VMEM (4 x (B, R, 128) fp32 planes), else the
+    per-batch grid kernel.
+    """
+    B, N, _ = xyz.shape
+    if B > 1 and B * (-(-N // _LANE)) * _LANE * 4 * 4 <= 12 * 2 ** 20:
+        return _fps_pallas_allbatch(xyz, npoint, interpret=interpret)
+    return _fps_pallas_grid(xyz, npoint, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=('npoint', 'interpret'))
+def _fps_pallas_grid(xyz, npoint: int, interpret: bool = False):
+    """Per-batch grid variant (original production path)."""
     B, N, _ = xyz.shape
     pad = (-N) % _LANE
     R = (N + pad) // _LANE
