@@ -260,7 +260,7 @@ def _greedy_suppress(iou, valid, thresh):
         return suppressed | (is_kept & overlap)
 
     suppressed = jax.lax.fori_loop(0, K, body, jnp.zeros((K,), dtype=bool),
-                                   unroll=8)
+                                   unroll=16)
     return jnp.logical_not(suppressed) & valid
 
 

@@ -124,9 +124,18 @@ def ball_query_dilated(min_radius: float, max_radius: float, nsample: int,
                             min_radius * min_radius, nsample, chunk, method)
 
 
+def _effective_chunk(B, M, N, chunk):
+    """On TPU, skip chunking when the (B, M, N) d2 transient fits easily in
+    HBM — the lax.map chunk loop serializes and adds copy traffic (the
+    chunking exists to bound memory, not for speed)."""
+    if jax.default_backend() == 'tpu' and B * M * N <= 2 ** 30:
+        return M
+    return min(chunk, M)
+
+
 def _ball_query_impl(xyz, new_xyz, r2_max, r2_min, nsample, chunk, method='auto'):
     B, M, _ = new_xyz.shape
-    chunk = min(chunk, M)
+    chunk = _effective_chunk(B, M, xyz.shape[1], chunk)
     pad = (-M) % chunk
     centers = jnp.pad(new_xyz, ((0, 0), (0, pad), (0, 0)))
     n_chunks = centers.shape[1] // chunk
@@ -140,6 +149,8 @@ def _ball_query_impl(xyz, new_xyz, r2_max, r2_min, nsample, chunk, method='auto'
             hit = ((d2 >= r2_min) & (d2 < r2_max)) | (d2 == 0.0)
         return _first_k_hits(hit, nsample, method=method)
 
+    if n_chunks == 1:
+        return one_chunk(centers[0])[:, :M]
     out = jax.lax.map(one_chunk, centers)          # (n_chunks, B, chunk, S)
     out = out.transpose(1, 0, 2, 3).reshape(B, n_chunks * chunk, nsample)
     return out[:, :M]
@@ -179,7 +190,7 @@ def ball_query_multi(radii, nsamples, xyz, new_xyz, chunk: int = 2048,
     radii = tuple(radii)
     nsamples = tuple(nsamples)
     B, M, _ = new_xyz.shape
-    chunk = min(chunk, M)
+    chunk = _effective_chunk(B, M, xyz.shape[1], chunk)
     pad = (-M) % chunk
     centers = jnp.pad(new_xyz, ((0, 0), (0, pad), (0, 0)))
     n_chunks = centers.shape[1] // chunk
@@ -192,6 +203,8 @@ def ball_query_multi(radii, nsamples, xyz, new_xyz, chunk: int = 2048,
             outs.append(_first_k_hits(d2 < r * r, s, method=method))
         return tuple(outs)
 
+    if n_chunks == 1:
+        return tuple(o[:, :M] for o in one_chunk(centers[0]))
     outs = jax.lax.map(one_chunk, centers)
     result = []
     for i, s in enumerate(nsamples):

@@ -165,7 +165,7 @@ def farthest_point_sample_pallas_batched(xyz, npoint: int,
 
 
 def _fps_kernel_unrolled_b(nvalid_ref, x_ref, y_ref, z_ref, out_ref,
-                           dist_ref):
+                           dist_ref, *, no_padding=False):
     """ALL batch rows in ONE step loop, python-unrolled over B.
 
     The per-batch grid kernel pays the full M-step dependency chain B times
@@ -185,8 +185,14 @@ def _fps_kernel_unrolled_b(nvalid_ref, x_ref, y_ref, z_ref, out_ref,
     valid = flat_ids < n_valid
     lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
 
+    def mask_pad(d2):
+        # static specialization: with N % 128 == 0 every lane is a real
+        # point and the per-step validity select is dead weight
+        return d2 if no_padding else jnp.where(valid, d2, -1.0)
+
     for b in range(B):
-        dist_ref[b] = jnp.where(valid, _BIG_F, -1.0)
+        dist_ref[b] = jnp.full((R, _LANE), _BIG_F) if no_padding \
+            else jnp.where(valid, _BIG_F, -1.0)
 
     def write(b, j, val):
         r = j // _LANE
@@ -197,7 +203,7 @@ def _fps_kernel_unrolled_b(nvalid_ref, x_ref, y_ref, z_ref, out_ref,
     for b in range(B):
         write(b, 0, jnp.int32(0))
 
-    def body(j, carry):
+    def step(j, carry):
         out = []
         for b in range(B):
             x1, y1, z1 = carry[b]
@@ -205,20 +211,29 @@ def _fps_kernel_unrolled_b(nvalid_ref, x_ref, y_ref, z_ref, out_ref,
             y = y_ref[b]
             z = z_ref[b]
             d2 = (x - x1) ** 2 + (y - y1) ** 2 + (z - z1) ** 2
-            nd = jnp.minimum(dist_ref[b], jnp.where(valid, d2, -1.0))
+            nd = jnp.minimum(dist_ref[b], mask_pad(d2))
             dist_ref[b] = nd
             m = jnp.max(nd)
             nxt = jnp.min(jnp.where(nd == m, flat_ids, jnp.int32(_BIG_I)))
             write(b, j, nxt)
-            sel = flat_ids == nxt
-            out.append((jnp.sum(jnp.where(sel, x, 0.0)),
-                        jnp.sum(jnp.where(sel, y, 0.0)),
-                        jnp.sum(jnp.where(sel, z, 0.0))))
+            # coords of the selected point: dynamic-slice its (1, 128) row
+            # (pl.ds with a traced sublane index is supported) + a lane-mask
+            # reduce — far cheaper than three full (R, 128) masked sums
+            r = nxt // _LANE
+            c = nxt % _LANE
+            lane_sel = lane_row == c
+            out.append((
+                jnp.sum(jnp.where(lane_sel, x_ref[b, pl.ds(r, 1), :], 0.0)),
+                jnp.sum(jnp.where(lane_sel, y_ref[b, pl.ds(r, 1), :], 0.0)),
+                jnp.sum(jnp.where(lane_sel, z_ref[b, pl.ds(r, 1), :], 0.0))))
         return tuple(out)
 
     seed = tuple((x_ref[b, 0, 0], y_ref[b, 0, 0], z_ref[b, 0, 0])
                  for b in range(B))
-    jax.lax.fori_loop(1, out_ref.shape[1] * _LANE, body, seed, unroll=False)
+    # NOTE: Mosaic fori supports unroll 1/full only; a manual 2-step body
+    # was measured at parity (15.8 vs 15.7 ms) — the cost is the per-step
+    # d2 -> min -> argmax dependency chain, not loop management
+    jax.lax.fori_loop(1, out_ref.shape[1] * _LANE, step, seed, unroll=False)
 
 
 @functools.partial(jax.jit, static_argnames=('npoint', 'interpret'))
@@ -242,7 +257,7 @@ def _fps_pallas_allbatch(xyz, npoint: int, interpret: bool = False):
         scratch_shapes=[pltpu.VMEM((B, R, _LANE), jnp.float32)],
     )
     out = pl.pallas_call(
-        _fps_kernel_unrolled_b,
+        functools.partial(_fps_kernel_unrolled_b, no_padding=(pad == 0)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Mr, _LANE), jnp.int32),
         interpret=interpret,
