@@ -148,8 +148,18 @@ class NuScenesDataset(DatasetTemplate):
         return annos
 
     def evaluation(self, det_annos, class_names, **kwargs):
-        """kitti-style fallback (the official nuscenes-devkit NDS metric
-        needs the devkit, absent from this image)."""
+        """Native numpy nuScenes protocol (center-distance mAP + TP errors
+        + NDS, ``eval/nuscenes_eval.py``); pass eval_metric='kitti' for the
+        kitti-style fallback."""
+        if kwargs.get('eval_metric', 'nuscenes') != 'kitti':
+            from ...eval.nuscenes_eval import nuscenes_evaluation
+            gt_annos = [{
+                'name': info.get('gt_names', np.array([])),
+                'boxes_lidar': np.asarray(
+                    info.get('gt_boxes', np.zeros((0, 7)))),
+            } for info in self.infos]
+            return nuscenes_evaluation(gt_annos, det_annos,
+                                       list(class_names))
         from ..waymo.waymo_eval_utils import waymo_annos_to_kitti
         from ...eval.kitti_eval import get_official_eval_result
         eval_det = [waymo_annos_to_kitti(copy.deepcopy(a)) for a in det_annos]

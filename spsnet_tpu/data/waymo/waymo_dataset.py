@@ -108,10 +108,25 @@ class WaymoDataset(DatasetTemplate):
         return annos
 
     def evaluation(self, det_annos, class_names, **kwargs):
-        """kitti-style eval on lidar boxes (the TF Waymo metric requires
-        tensorflow + waymo_open_dataset; unavailable in this image)."""
+        """Native numpy Waymo protocol (3D-IoU mAP/mAPH at L1/L2,
+        ``eval/waymo_eval.py``); pass eval_metric='kitti' for the
+        kitti-style fallback."""
         if 'annos' not in self.infos[0]:
             return 'no labels', {}
+        if kwargs.get('eval_metric', 'waymo') != 'kitti':
+            from ...eval.waymo_eval import waymo_evaluation
+            gt_annos = []
+            for info in self.infos:
+                a = info['annos']
+                gt_annos.append({
+                    'name': np.asarray(a['name']),
+                    'boxes_lidar': np.asarray(
+                        a.get('gt_boxes_lidar', a.get('boxes_lidar',
+                                                      np.zeros((0, 7))))),
+                    'difficulty': np.asarray(
+                        a.get('difficulty', np.zeros(len(a['name'])))),
+                })
+            return waymo_evaluation(gt_annos, det_annos, list(class_names))
         from ...eval.kitti_eval import get_official_eval_result
         from ..waymo.waymo_eval_utils import waymo_annos_to_kitti
         eval_det = [waymo_annos_to_kitti(copy.deepcopy(a)) for a in det_annos]
