@@ -91,14 +91,16 @@ def sharded_farthest_point_sample(xyz, npoint: int, mesh: Mesh,
     """(B, N, 3) with N sharded over ``axis`` -> replicated (B, npoint)."""
     try:
         from jax import shard_map
-    except ImportError:        # older jax
+        kw = {'check_vma': False}       # jax >= 0.8 renamed check_rep
+    except ImportError:                 # older jax
         from jax.experimental.shard_map import shard_map
+        kw = {'check_rep': False}
     fn = shard_map(
         functools.partial(_fps_local, npoint=npoint, axis=axis),
         mesh=mesh,
         in_specs=P(None, axis, None),
         out_specs=P(),
-        check_rep=False)
+        **kw)
     return fn(xyz)
 
 
