@@ -262,3 +262,153 @@ def anchor_head_loss(ret, loss_cfg, num_class, box_coder, num_dir_bins=2,
     total = cls_loss + loc_loss + dir_loss
     tb['rpn_loss'] = total
     return total, tb
+
+
+class AnchorHeadMulti(nn.Module):
+    """Grouped multi-head RPN (rebuild of ``anchor_head_multi.py``:
+    ``AnchorHeadMulti`` :151 + ``SingleHead`` :9, SEPARATE_MULTIHEAD mode of
+    ``second_multihead.yaml``).
+
+    One shared 3x3 conv, then per RPN_HEAD_CFGS group a 1x1 cls/box/dir
+    trio over only that group's classes. Multihead anchor ordering is
+    anchor-major ((A, H, W) flattened — ``anchor_head_multi.py:121-129``),
+    and each head's anchors are exactly its classes' generator entries.
+
+    TPU reformulation of the list-of-heads outputs: the per-head local
+    class logits are scattered into ONE dense (B, N_all, num_class) matrix
+    with -1e9 elsewhere (sigmoid -> 0), which reproduces the reference's
+    ``multihead_label_mapping`` consumption in both the focal loss (zero
+    loss at p=0, target=0) and multi-class NMS — no ragged head lists.
+    """
+    model_cfg: Any
+    num_class: int
+    grid_size: Any
+    point_cloud_range: Any
+    class_names: Any = None
+
+    def setup(self):
+        self.box_coder = box_coder_lib.build_box_coder(
+            self.model_cfg.TARGET_ASSIGNER_CONFIG.get('BOX_CODER',
+                                                      'ResidualCoder'))
+        agc = [dict(c.to_dict() if hasattr(c, 'to_dict') else c)
+               for c in self.model_cfg.ANCHOR_GENERATOR_CONFIG]
+        names = list(self.class_names) if self.class_names is not None else \
+            [c['class_name'] for c in agc]
+        stride = int(agc[0].get('feature_map_stride', 2))
+        self.use_dir = self.model_cfg.get('USE_DIRECTION_CLASSIFIER', True)
+        self.num_dir_bins = int(self.model_cfg.get('NUM_DIR_BINS', 2))
+
+        shared_ch = self.model_cfg.get('SHARED_CONV_NUM_FILTER', None)
+        if shared_ch is not None:
+            self.shared_conv = nn.Conv(int(shared_ch), (3, 3),
+                                       padding=((1, 1), (1, 1)),
+                                       use_bias=False, name='shared_conv')
+            self.shared_bn = nn.BatchNorm(momentum=0.99, epsilon=1e-3,
+                                          name='shared_bn')
+        else:
+            self.shared_conv = None
+
+        heads = []
+        head_meta = []
+        for hi, hcfg in enumerate(self.model_cfg.RPN_HEAD_CFGS):
+            head_names = list(hcfg['HEAD_CLS_NAME'])
+            sub_agc = [c for c in agc if c['class_name'] in head_names]
+            anchors, cls_local, m, u = generate_anchors(
+                sub_agc, self.grid_size, self.point_cloud_range, stride)
+            # global 1-based class id per anchor slot
+            gids = np.asarray(
+                [names.index(sub_agc[ci - 1]['class_name']) + 1
+                 for ci in cls_local], np.int32)
+            A = anchors.shape[2]
+            C = len(head_names)
+            heads.append({
+                'cls': nn.Conv(A * C, (1, 1), name=f'head{hi}_cls',
+                               bias_init=nn.initializers.constant(
+                                   -np.log(99.0))),
+                'box': nn.Conv(A * self.box_coder.code_size, (1, 1),
+                               name=f'head{hi}_box'),
+                'dir': nn.Conv(A * self.num_dir_bins, (1, 1),
+                               name=f'head{hi}_dir') if self.use_dir
+                else None,
+            })
+            head_meta.append({
+                # (A, ny, nx, 7): multihead anchor-major flatten order
+                'anchors': jnp.asarray(
+                    np.transpose(anchors, (2, 0, 1, 3))),
+                'gids': jnp.asarray(gids), 'm': jnp.asarray(m),
+                'u': jnp.asarray(u), 'A': A, 'C': C,
+                'global_cols': tuple(names.index(n) for n in head_names),
+            })
+        self.heads = heads
+        self.head_meta = head_meta
+
+    def __call__(self, batch, train: bool = True):
+        x = batch['spatial_features_2d']
+        if self.shared_conv is not None:
+            x = nn.relu(self.shared_bn(self.shared_conv(x),
+                                       use_running_average=not train))
+        B, H, W, _ = x.shape
+
+        all_cls, all_box, all_dir = [], [], []
+        anchors_list, cls_ids, mthr, uthr = [], [], [], []
+        for head, meta in zip(self.heads, self.head_meta):
+            A, C = meta['A'], meta['C']
+            cl = head['cls'](x).reshape(B, H, W, A, C)
+            cl = jnp.transpose(cl, (0, 3, 1, 2, 4)).reshape(B, A * H * W, C)
+            # scatter local class logits into the global class columns
+            gcls = jnp.full((B, A * H * W, self.num_class), -1e9, cl.dtype)
+            for li, col in enumerate(meta['global_cols']):
+                gcls = gcls.at[..., col].set(cl[..., li])
+            all_cls.append(gcls)
+
+            bx = head['box'](x).reshape(B, H, W, A, self.box_coder.code_size)
+            all_box.append(jnp.transpose(bx, (0, 3, 1, 2, 4)).reshape(
+                B, A * H * W, -1))
+            if self.use_dir:
+                dr = head['dir'](x).reshape(B, H, W, A, self.num_dir_bins)
+                all_dir.append(jnp.transpose(dr, (0, 3, 1, 2, 4)).reshape(
+                    B, A * H * W, -1))
+
+            assert meta['anchors'].shape[1] == H and \
+                meta['anchors'].shape[2] == W, \
+                (meta['anchors'].shape, (H, W))
+            anchors_list.append(meta['anchors'].reshape(A * H * W, 7))
+            cls_ids.append(jnp.repeat(meta['gids'], H * W))
+            mthr.append(jnp.repeat(meta['m'], H * W))
+            uthr.append(jnp.repeat(meta['u'], H * W))
+
+        cls_preds = jnp.concatenate(all_cls, axis=1)
+        box_preds = jnp.concatenate(all_box, axis=1)
+        dir_preds = jnp.concatenate(all_dir, axis=1) if self.use_dir else None
+        anchors_flat = jnp.concatenate(anchors_list, axis=0)
+        ac = jnp.concatenate(cls_ids)
+        am = jnp.concatenate(mthr)
+        au = jnp.concatenate(uthr)
+
+        ret = {'cls_preds': cls_preds, 'box_preds': box_preds,
+               'dir_preds': dir_preds, 'anchors': anchors_flat}
+        if train and 'gt_boxes' in batch:
+            labels, reg_t, reg_w, _ = jax.vmap(
+                lambda gt: assign_anchor_targets(
+                    anchors_flat, ac, am, au, gt, self.box_coder,
+                    self.num_class))(batch['gt_boxes'])
+            ret.update({'box_cls_labels': labels, 'box_reg_targets': reg_t,
+                        'reg_weights': reg_w})
+
+        decoded = self.box_coder.decode(box_preds, anchors_flat[None])
+        if self.use_dir and dir_preds is not None:
+            dir_offset = float(self.model_cfg.get('DIR_OFFSET', 0.78539))
+            dir_limit = float(self.model_cfg.get('DIR_LIMIT_OFFSET', 0.0))
+            dir_labels = jnp.argmax(dir_preds, axis=-1)
+            period = 2 * np.pi / self.num_dir_bins
+            rot = limit_period(decoded[..., 6] - dir_offset, dir_limit,
+                               period)
+            decoded = decoded.at[..., 6].set(
+                rot + dir_offset + period * dir_labels.astype(decoded.dtype))
+
+        batch = dict(batch)
+        batch['batch_cls_preds'] = cls_preds
+        batch['batch_box_preds'] = decoded
+        batch['cls_preds_normalized'] = False
+        batch['anchor_head_ret'] = ret
+        return batch

@@ -10,7 +10,8 @@ import numpy as np
 
 from ..backbones_2d import build_backbone_2d
 from ..backbones_3d.spconv_backbone import HeightCompression, VoxelBackBone8x
-from ..dense_heads.anchor_head import AnchorHeadSingle, anchor_head_loss
+from ..dense_heads.anchor_head import (AnchorHeadMulti, AnchorHeadSingle,
+                                       anchor_head_loss)
 from ..vfe import build_vfe
 
 
@@ -40,8 +41,12 @@ class SECONDNet(nn.Module):
             self.model_cfg.BACKBONE_2D.NAME,
             model_cfg=self.model_cfg.BACKBONE_2D,
             input_channels=int(self.model_cfg.MAP_TO_BEV.NUM_BEV_FEATURES))
-        # anchors live on the BEV map after 8x downsample
-        self.dense_head = AnchorHeadSingle(
+        # anchors live on the BEV map after 8x downsample; second_multihead
+        # configs select the grouped multi-head RPN by NAME
+        head_cls = AnchorHeadMulti \
+            if self.model_cfg.DENSE_HEAD.get('NAME', '') == 'AnchorHeadMulti' \
+            else AnchorHeadSingle
+        self.dense_head = head_cls(
             model_cfg=self.model_cfg.DENSE_HEAD,
             num_class=self.num_class,
             grid_size=self.grid_size,
