@@ -75,14 +75,26 @@ class GenerateCenter(nn.Module):
         self.feature_encoder = EncoderSurfaceFeature(
             latent_size=int(self.model_cfg.LATENT_DIM), name='feature_encoder')
         self.obj_encoder = ObjectFeatEncoder(name='obj_encoder')
+        # model_V3 variant (``stability_generate/model_V3.py``): DenseEdgeConv
+        # surface features gathered at the sampled points and concatenated
+        # into soc_feature before the latent heads
+        self.use_surface = bool(self.model_cfg.get('USE_SURFACE', False))
+        if self.use_surface:
+            from ..models.surface_feature import FeatureExtraction
+            self.sf_extract = FeatureExtraction(name='sf_extract')
 
     def __call__(self, batch, train: bool = True):
         """Returns ret dict; eval adds ``stds`` (B, N)."""
         points = batch['points']
         xyz = points[..., 0:3]
         features = points[..., 3:] if points.shape[-1] > 3 else None
-        new_xyz, soc_feature, _, _, _ = self.feature_extract(
+        new_xyz, soc_feature, _, sampled_idx, _ = self.feature_extract(
             xyz, features, train=train)
+        if self.use_surface:
+            from .. import ops
+            sf = self.sf_extract(xyz)                     # (B, N, 60)
+            sf = ops.gather_points(sf, sampled_idx)       # at sampled points
+            soc_feature = jnp.concatenate([sf, soc_feature], axis=-1)
         mu, logvar = self.feature_encoder(soc_feature)
 
         ret = {'soc_feature': soc_feature, 'mu': mu, 'logvar': logvar,

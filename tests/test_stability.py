@@ -108,3 +108,40 @@ def test_delete_hook_keeps_fixed_shape_and_matches_selection():
     kept1 = set(keep_idx[1])
     assert not (kept1 & set(range(100)))
     assert len(kept1) == N - 500
+
+
+def test_generate_center_v3_surface_variant():
+    """model_V3: DenseEdgeConv surface features concatenated into
+    soc_feature (USE_SURFACE)."""
+    import numpy as np
+    cfg_d = {
+        'SF_FEATURE_DIM': 32, 'LATENT_DIM': 4, 'USE_SURFACE': True,
+        'SA_CONFIG': {
+            'NPOINT_LIST': [[64]],
+            'SAMPLE_RANGE_LIST': [[-1]],
+            'SAMPLE_METHOD_LIST': [['D-FPS']],
+            'RADIUS_LIST': [[0.2, 0.8]],
+            'NSAMPLE_LIST': [[4, 8]],
+            'MLPS': [[[8, 8, 16], [8, 8, 16]]],
+            'LAYER_TYPE': ['SA_Layer'],
+            'DILATED_GROUP': [False],
+            'AGGREGATION_MLPS': [[32]],
+            'CONFIDENCE_MLPS': [[]],
+            'LAYER_INPUT': [0],
+            'CTR_INDEX': [-1],
+        },
+        'GENERATOR': {'LATENT_DIM': 4, 'PW_FEATURE_DIM': 32},
+    }
+    model = GenerateCenter(model_cfg=StaticConfig(cfg_d))
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.uniform(-3, 3, (2, 128, 4)).astype(np.float32))
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'latent': jax.random.PRNGKey(1)},
+                           {'points': pts}, train=True)
+    # surface extractor params exist and the forward is finite
+    assert 'sf_extract' in variables['params']
+    ret, _ = model.apply(variables, {'points': pts}, train=True,
+                         mutable=['batch_stats'],
+                         rngs={'latent': jax.random.PRNGKey(2)})
+    assert ret['soc_feature'].shape[-1] == 32 + 60
+    assert np.isfinite(np.asarray(ret['center_pred'])).all()
