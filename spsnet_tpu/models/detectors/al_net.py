@@ -63,7 +63,39 @@ class ALNet(nn.Module):
         return batch
 
     def loss(self, batch):
+        import jax.numpy as jnp
+        from ...utils.loss_utils import cpgnet_criterion
         cfg = self.model_cfg.DENSE_HEAD
-        return center_head_iou_loss(
+        lw = cfg.LOSS_CONFIG.LOSS_WEIGHTS
+
+        def sem_loss(mask_fg_only):
+            """CPGNet CE+Lovasz on per-point semantic logits
+            (``center_head_iou.py get_loss`` SEM_TASK / USE_DET_FOR_SEM)."""
+            sem_pred = batch['sem_pred']               # (B, N, C)
+            target = batch['sem_labels']               # (B, N)
+            B, N, C = sem_pred.shape
+            flat_p = sem_pred.reshape(B * N, C)
+            flat_t = target.reshape(B * N)
+            valid = flat_t >= 0
+            ratio = 1.0
+            if mask_fg_only:                           # USE_DET_FOR_SEM
+                valid = valid & (flat_t > 0)
+                ratio = jnp.sum(valid) / (B * N)
+            out = cpgnet_criterion(
+                flat_p, flat_t, weight=lw.get('sem_cs_weight', 'dynamic-log'),
+                ignore=lw.get('sem_ignore', None), valid=valid)
+            return out['loss'] * ratio * float(lw.get('sem_weight', 3.0))
+
+        if bool(cfg.get('SEM_TASK', False)) and 'sem_labels' in batch:
+            l = sem_loss(mask_fg_only=False)
+            return l, {'sem_loss': l}
+
+        total, tb = center_head_iou_loss(
             batch['center_head_iou_ret'], cfg.LOSS_CONFIG,
             tuple(cfg.SEPARATE_HEAD_CFG.HEAD_ORDER))
+        if bool(cfg.get('USE_DET_FOR_SEM', False)) and 'sem_labels' in batch:
+            l = sem_loss(mask_fg_only=True)
+            tb = dict(tb)
+            tb['sem_loss'] = l
+            total = total + l
+        return total, tb

@@ -134,3 +134,85 @@ def build_cls_loss(name):
         if name.startswith(key):
             return fn
     raise NotImplementedError(name)
+
+
+def lovasz_grad(gt_sorted):
+    """Gradient of the Jaccard-loss convex extension w.r.t. sorted errors
+    (Lovasz-Softmax, Berman et al.; parity: the reference's vendored
+    ``LovaszSoftmaxLoss`` used by ``CPGNetCriterion``)."""
+    p = gt_sorted.shape[-1]
+    gts = jnp.sum(gt_sorted, axis=-1, keepdims=True)
+    intersection = gts - jnp.cumsum(gt_sorted, axis=-1)
+    union = gts + jnp.cumsum(1.0 - gt_sorted, axis=-1)
+    jaccard = 1.0 - intersection / jnp.clip(union, 1e-9, None)
+    if p > 1:
+        jaccard = jnp.concatenate(
+            [jaccard[..., :1], jaccard[..., 1:] - jaccard[..., :-1]], axis=-1)
+    return jaccard
+
+
+def lovasz_softmax(probs, labels, valid=None, classes='present'):
+    """Flat Lovasz-softmax over (P, C) probs and (P,) int labels.
+
+    Fixed-shape formulation: invalid points get zero error and sort to the
+    tail, where the cumulative Jaccard gradient contribution is zero.
+    """
+    P, C = probs.shape
+    if valid is None:
+        valid = jnp.ones((P,), bool)
+    losses = []
+    present = []
+    for c in range(C):
+        fg = ((labels == c) & valid).astype(probs.dtype)
+        err = jnp.abs(fg - probs[:, c]) * valid
+        order = jnp.argsort(-err)
+        err_s = err[order]
+        fg_s = fg[order]
+        losses.append(jnp.sum(err_s * lovasz_grad(fg_s)))
+        present.append(jnp.sum(fg) > 0)
+    losses = jnp.stack(losses)
+    if classes == 'present':
+        pres = jnp.stack(present).astype(probs.dtype)
+        return jnp.sum(losses * pres) / jnp.clip(jnp.sum(pres), 1.0, None)
+    return jnp.mean(losses)
+
+
+def cpgnet_criterion(logits, target, weight='dynamic-log', ignore=None,
+                     classes='present', with_ls=True, valid=None):
+    """Semantic-segmentation loss (``loss_utils.CPGNetCriterion:157-203``):
+    frequency-weighted CE (+ optional dynamic/log weights, ignore classes)
+    + 2 x Lovasz-softmax.
+
+    Args: logits (P, C); target (P,) int; valid (P,) bool (fixed-shape pad
+    mask — the reference's ragged points are always valid).
+    """
+    P, C = logits.shape
+    if valid is None:
+        valid = jnp.ones((P,), bool)
+    tgt = jnp.clip(target.astype(jnp.int32), 0, C - 1)
+    onehot = jax.nn.one_hot(tgt, C) * valid[:, None]
+
+    if isinstance(weight, str) and weight.startswith('dynamic'):
+        cnt = jnp.sum(onehot, axis=0)
+        n = jnp.clip(jnp.sum(valid), 1, None)
+        if weight == 'dynamic-log':
+            freq = jnp.log(cnt + 1) / jnp.log(n.astype(jnp.float32) + 1)
+        else:
+            freq = cnt / n
+        w = 1.0 / (freq + 1e-3)
+    else:
+        w = jnp.asarray(weight, jnp.float32)
+    if ignore:
+        w = w.at[jnp.asarray(list(ignore))].set(0.0)
+
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    per_pt_w = w[tgt] * valid
+    ce = -jnp.sum(onehot * logp, axis=-1)
+    # torch F.cross_entropy(weight=...) normalizes by the summed weights
+    loss_wce = jnp.sum(ce * per_pt_w) / jnp.clip(jnp.sum(per_pt_w), 1e-9,
+                                                 None)
+    loss_ls = lovasz_softmax(jax.nn.softmax(logits, axis=-1), tgt,
+                             valid=valid, classes=classes) \
+        if with_ls else 0.0
+    loss = loss_wce + 2.0 * loss_ls
+    return {'loss_wce': loss_wce, 'loss_ls': loss_ls, 'loss': loss}

@@ -178,3 +178,51 @@ def test_range_projection_fov_mask():
                         [5.0, 0.0, 4.0]]])     # theta ~ +39deg: outside
     u, v, keep = projection.range_coords(pts, fov, (8, 64))
     assert bool(keep[0, 0]) and not bool(keep[0, 1])
+
+
+def test_cpgnet_criterion_properties():
+    """Dynamic-log weighting + Lovasz behave sanely on a toy problem."""
+    from spsnet_tpu.utils.loss_utils import cpgnet_criterion, lovasz_softmax
+    rng = np.random.default_rng(0)
+    P, C = 256, 4
+    target = jnp.asarray(rng.integers(0, C, P))
+    # perfect predictions -> tiny loss; random -> bigger
+    perfect = jax.nn.one_hot(target, C) * 20.0
+    noise = jnp.asarray(rng.normal(size=(P, C)).astype(np.float32))
+    l_perfect = cpgnet_criterion(perfect, target)['loss']
+    l_noise = cpgnet_criterion(noise, target)['loss']
+    assert float(l_perfect) < 0.01
+    assert float(l_noise) > float(l_perfect) + 0.5
+    # lovasz of perfect probs ~ 0
+    ls = lovasz_softmax(jax.nn.softmax(perfect, -1), target)
+    assert float(ls) < 1e-3
+    # invalid points are ignored
+    valid = jnp.zeros((P,), bool).at[:16].set(True)
+    l_masked = cpgnet_criterion(noise, target, valid=valid)['loss']
+    assert np.isfinite(float(l_masked))
+
+
+def test_alnet_sem_task_losses(al_setup):
+    """SEM_TASK-only and USE_DET_FOR_SEM loss paths with sem labels."""
+    cfg, model, variables, batch = al_setup
+    rng = np.random.default_rng(7)
+    sem = rng.integers(0, 4, (2, 512)).astype(np.int32)
+    b2 = dict(batch)
+    b2['sem_labels'] = jnp.asarray(sem)
+    other = {k: v for k, v in variables.items() if k != 'params'}
+
+    from spsnet_tpu.config import EDict, StaticConfig
+    for mode in ('SEM_TASK', 'USE_DET_FOR_SEM'):
+        cfg2 = EDict({k: v for k, v in cfg.items()})
+        cfg2.DENSE_HEAD = EDict({k: v for k, v in cfg.DENSE_HEAD.items()})
+        cfg2.DENSE_HEAD[mode] = True
+        from spsnet_tpu.models import build_detector
+        m2 = build_detector(cfg2, num_class=3, voxel_size=(0.8, 0.8, 4),
+                            point_cloud_range=tuple(
+                                [0, -12.8, -3, 25.6, 12.8, 1]),
+                            class_names=['Car', 'Pedestrian', 'Cyclist'])
+        o, _ = m2.apply(variables, b2, train=True, mutable=['batch_stats'],
+                        rngs={'dropout': jax.random.PRNGKey(3)})
+        loss, tb = m2.apply(variables, o, method=m2.loss)
+        assert np.isfinite(float(loss)), mode
+        assert 'sem_loss' in tb, mode
