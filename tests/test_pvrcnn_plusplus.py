@@ -190,3 +190,72 @@ def test_roi_proximity_mask():
     m2 = np.asarray(sample_points_with_roi_mask(
         pts, jnp.zeros((1, 3, 7)), 1.6))
     assert bool(m2[0, 0]) and not bool(m2[0, 1])
+
+
+def test_vector_pool_interp_cells_brute_force():
+    """local_interpolation cell features vs a numpy 3NN/IDW brute force."""
+    from spsnet_tpu.models.model_utils.vector_pool import (
+        VectorPoolAggregation, grid_offsets)
+    rng = np.random.default_rng(3)
+    B, N, M = 1, 64, 4
+    R = 0.8
+    xyz = rng.uniform(-2, 2, (B, N, 3)).astype(np.float32)
+    feats = rng.normal(size=(B, N, 4)).astype(np.float32)
+    new_xyz = rng.uniform(-1, 1, (B, M, 3)).astype(np.float32)
+
+    mod = VectorPoolAggregation(
+        num_local_voxel=(2, 2, 2), max_neighbor_distance=R,
+        post_mlps=(8,), num_reduced_channels=4)
+    offs = grid_offsets((2, 2, 2), R)
+    centers = new_xyz[:, :, None, :] + offs[None, None]
+    got = np.asarray(mod._interp_cells(
+        jnp.asarray(xyz), jnp.asarray(feats), jnp.asarray(centers)))
+    got = got.reshape(M, 8, 13)           # (r=4) + 9 xyz-enc
+
+    for m in range(M):
+        for g in range(8):
+            c = centers[0, m, g]
+            d2 = ((xyz[0] - c) ** 2).sum(-1)
+            nn3 = np.argsort(d2, kind='stable')[:3]
+            gate = d2[nn3] <= (R * 2.0) ** 2
+            if not gate.any():
+                np.testing.assert_allclose(got[m, g], 0.0, atol=1e-6)
+                continue
+            w = np.where(gate, 1.0 / (d2[nn3] + 1e-8), 0.0)
+            w = w / w.sum()
+            want_feat = (feats[0, nn3] * w[:, None]).sum(0)
+            want_xyz = ((c - xyz[0, nn3]) * gate[:, None]).reshape(9)
+            np.testing.assert_allclose(got[m, g, :4], want_feat, atol=2e-5)
+            np.testing.assert_allclose(got[m, g, 4:], want_xyz, atol=2e-5)
+
+
+def test_vector_pool_voxel_cells_brute_force():
+    """voxel_avg_pool cell means vs numpy binning of cube-query neighbors."""
+    from spsnet_tpu.models.model_utils.vector_pool import VectorPoolAggregation
+    rng = np.random.default_rng(4)
+    B, N, M, K = 1, 96, 3, 32
+    R = 1.0
+    xyz = rng.uniform(-3, 3, (B, N, 3)).astype(np.float32)
+    feats = rng.normal(size=(B, N, 2)).astype(np.float32)
+    new_xyz = rng.uniform(-1, 1, (B, M, 3)).astype(np.float32)
+    mod = VectorPoolAggregation(
+        num_local_voxel=(2, 2, 2), max_neighbor_distance=R,
+        post_mlps=(8,), num_reduced_channels=2,
+        local_aggregation_type='voxel_avg_pool', neighbor_nsample=K)
+    got = np.asarray(mod._voxel_cells(
+        jnp.asarray(xyz), jnp.asarray(feats), jnp.asarray(new_xyz)))
+
+    for m in range(M):
+        local = xyz[0] - new_xyz[0, m]
+        inside = np.abs(local).max(-1) <= R
+        cand = np.where(inside)[0][:K]           # first-K in index order
+        cells = np.floor((local[cand] + R) / (2 * R) * 2).clip(0, 1)
+        flat = (cells[:, 0] * 4 + cells[:, 1] * 2 + cells[:, 2]).astype(int)
+        for g in range(8):
+            sel = cand[flat == g]
+            if len(sel) == 0:
+                np.testing.assert_allclose(got[0, m, g], 0.0, atol=1e-6)
+            else:
+                want = np.concatenate([local[sel].mean(0),
+                                       feats[0, sel].mean(0)])
+                np.testing.assert_allclose(got[0, m, g], want, atol=2e-5)
