@@ -10,6 +10,8 @@ import numpy as np
 
 from ..backbones_2d import build_backbone_2d
 from ..dense_heads.center_head import CenterHead, center_head_loss
+from ..dense_heads.center_head_iou import (CenterHeadIoU,
+                                           center_head_iou_loss)
 from ..map_to_bev import build_map_to_bev
 from ..vfe import build_vfe
 
@@ -20,6 +22,7 @@ class CenterPoint(nn.Module):
     voxel_size: Any = (0.16, 0.16, 4)
     point_cloud_range: Any = (0, -39.68, -3, 69.12, 39.68, 1)
     num_point_features: int = 4
+    class_names: Any = None
 
     def setup(self):
         pcr = np.asarray(self.point_cloud_range, dtype=np.float32)
@@ -39,12 +42,22 @@ class CenterPoint(nn.Module):
             self.model_cfg.BACKBONE_2D.NAME,
             model_cfg=self.model_cfg.BACKBONE_2D,
             input_channels=int(self.model_cfg.MAP_TO_BEV.NUM_BEV_FEATURES))
-        self.dense_head = CenterHead(
-            model_cfg=self.model_cfg.DENSE_HEAD,
-            num_class=self.num_class,
-            grid_size=self.grid_size,
-            voxel_size=tuple(float(v) for v in vs),
-            point_cloud_range=tuple(float(v) for v in pcr))
+        # centerpoint_iou configs select the IoU-rectified head by NAME
+        if self.model_cfg.DENSE_HEAD.get('NAME', '') == 'CenterHeadIoU':
+            self.dense_head = CenterHeadIoU(
+                model_cfg=self.model_cfg.DENSE_HEAD,
+                num_class=self.num_class,
+                grid_size=self.grid_size,
+                voxel_size=tuple(float(v) for v in vs),
+                point_cloud_range=tuple(float(v) for v in pcr),
+                class_names=self.class_names)
+        else:
+            self.dense_head = CenterHead(
+                model_cfg=self.model_cfg.DENSE_HEAD,
+                num_class=self.num_class,
+                grid_size=self.grid_size,
+                voxel_size=tuple(float(v) for v in vs),
+                point_cloud_range=tuple(float(v) for v in pcr))
 
     def __call__(self, batch, train: bool = True):
         batch = self.vfe(batch, train=train)
@@ -54,5 +67,9 @@ class CenterPoint(nn.Module):
         return batch
 
     def loss(self, batch):
-        return center_head_loss(batch['center_head_ret'],
-                                self.model_cfg.DENSE_HEAD.LOSS_CONFIG)
+        cfg = self.model_cfg.DENSE_HEAD
+        if 'center_head_iou_ret' in batch:
+            return center_head_iou_loss(
+                batch['center_head_iou_ret'], cfg.LOSS_CONFIG,
+                tuple(cfg.SEPARATE_HEAD_CFG.HEAD_ORDER))
+        return center_head_loss(batch['center_head_ret'], cfg.LOSS_CONFIG)

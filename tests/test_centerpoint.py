@@ -4,6 +4,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+from spsnet_tpu.config import EDict
 from spsnet_tpu.models import build_detector
 from spsnet_tpu.zoo import tiny_centerpoint_cfg
 from tests.test_pointpillar import PCR, VOXEL, make_batch
@@ -61,3 +62,54 @@ def test_heatmap_target_peaks_at_gt():
     assert hm[1].max() == 0.0        # other classes untouched
     assert int(mask[0]) == 1 and int(mask[1]) == 0
     assert int(inds[0]) == cy * 64 + cx
+
+
+def test_centerpoint_iou_variant():
+    """centerpoint_iou.yaml protocol: pillar CenterPoint + CenterHeadIoU."""
+    from spsnet_tpu.zoo import tiny_pointpillar_cfg
+    from tests.test_pointpillar import PCR, VOXEL, make_batch
+    cfg = tiny_pointpillar_cfg()
+    cfg.NAME = 'CenterPoint'
+    cfg.DENSE_HEAD = EDict({
+        'NAME': 'CenterHeadIoU', 'CLASS_AGNOSTIC': False,
+        'CLASS_NAMES_EACH_HEAD': [['Car', 'Pedestrian', 'Cyclist']],
+        'SHARED_CONV_CHANNEL': 16, 'USE_BIAS_BEFORE_NORM': True,
+        'NUM_HM_CONV': 2,
+        'SEPARATE_HEAD_CFG': {
+            'HEAD_ORDER': ['center', 'center_z', 'dim', 'rot'],
+            'HEAD_DICT': {
+                'center': {'out_channels': 2, 'num_conv': 2},
+                'center_z': {'out_channels': 1, 'num_conv': 2},
+                'dim': {'out_channels': 3, 'num_conv': 2},
+                'rot': {'out_channels': 2, 'num_conv': 2},
+                'iou': {'out_channels': 1, 'num_conv': 2}}},
+        'TARGET_ASSIGNER_CONFIG': {
+            'FEATURE_MAP_STRIDE': 2, 'NUM_MAX_OBJS': 8,
+            'GAUSSIAN_OVERLAP': 0.1, 'MIN_RADIUS': 2},
+        'LOSS_CONFIG': {'LOSS_WEIGHTS': {
+            'cls_weight': 1.0, 'loc_weight': 0.25, 'iou_weight': 1.0,
+            'code_weights': [1.0] * 8}},
+        'POST_PROCESSING': {
+            'SCORE_THRESH': 0.0,
+            'POST_CENTER_LIMIT_RANGE': [-61.2, -61.2, -10, 61.2, 61.2, 10],
+            'MAX_OBJ_PER_SAMPLE': 16,
+            'RECTIFIER': [0.68],
+            'NMS_CONFIG': {'NMS_NAME': 'class_specific_nms',
+                           'NMS_THRESH': 0.1, 'NMS_PRE_MAXSIZE': 16,
+                           'NMS_POST_MAXSIZE': 4}},
+    })
+    model = build_detector(cfg, num_class=3, voxel_size=tuple(VOXEL),
+                           point_cloud_range=tuple(PCR),
+                           class_names=['Car', 'Pedestrian', 'Cyclist'])
+    rng = np.random.default_rng(2)
+    batch = make_batch(rng)
+    variables = jax.jit(model.init, static_argnames='train')(
+        jax.random.PRNGKey(0), batch, train=True)
+    out = model.apply(variables, batch, train=False)
+    # one 3-class head group -> 3 classes x 4 NMS slots
+    assert out['batch_box_preds'].shape == (2, 12, 7)
+    assert np.isfinite(np.asarray(out['batch_box_preds'])).all()
+    o, _ = model.apply(variables, batch, train=True, mutable=['batch_stats'])
+    loss, tb = model.apply(variables, o, method=model.loss)
+    assert np.isfinite(float(loss))
+    assert any('iou_loss' in k for k in tb)
