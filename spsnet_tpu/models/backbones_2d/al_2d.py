@@ -17,7 +17,7 @@ working variant (width-only pooling in the range branch) everywhere.
 """
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Sequence
 
 import einops
 import flax.linen as nn

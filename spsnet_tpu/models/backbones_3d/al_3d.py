@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..backbones_2d import projection
-from ..backbones_2d.al_2d import ChannelAttention, CPUnet, FusionBlock
+from ..backbones_2d.al_2d import CPUnet, FusionBlock
 
 
 class AL3D(nn.Module):
