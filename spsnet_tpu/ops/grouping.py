@@ -152,7 +152,12 @@ def _ball_query_impl(xyz, new_xyz, r2_max, r2_min, nsample, chunk, method='auto'
         if r2_min is None:
             hit = d2 < r2_max
         else:
-            hit = ((d2 >= r2_min) & (d2 < r2_max)) | (d2 == 0.0)
+            # CUDA's always-hit branch for the exact center is `d2 == 0`;
+            # the TPU MXU/bf16 d2 rounds self-distances to ~+/-5e-3, so the
+            # self test needs a tolerance there (annulus r2_min >= 0.04 in
+            # every config, so no genuine annulus point can be caught)
+            self_eps = 5e-3 if jax.default_backend() == 'tpu' else 0.0
+            hit = ((d2 >= r2_min) & (d2 < r2_max)) | (d2 <= self_eps)
         return _first_k_hits(hit, nsample, method=method)
 
     if n_chunks == 1:
