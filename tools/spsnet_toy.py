@@ -2,9 +2,9 @@
 
 Rebuild of ``tools/SPSNet.py``: a tiny CVAE is trained to predict a fixed
 center (the origin) from 2-D points sampled from a uniform cloud plus a
-denser Gaussian blob; per-point latent stds separate the two populations
-(the blob lands on the HIGH-std side — the polarity the full SPSNet hook
-keeps as 'informative' foreground). The top-k by std are plotted. Same losses as the full stability
+denser Gaussian blob; the per-point latent stds visualize which points the
+CVAE is most/least certain about (how sharply the populations separate
+depends on seed and iteration budget). The top-k by std are plotted. Same losses as the full stability
 model: smooth-L1 center regression + 5e-5 * KL(q || N(0,1)) + 5e-5 * sum of
 parameter L2 norms (the reference's sigma = exp(logvar) + 3e-22 quirk kept).
 
@@ -104,9 +104,6 @@ def main():
     plt.savefig(out / 'topk.png', dpi=200)
     lo_blob = (topk >= 500).mean()
     hi_blob = (np.argsort(stds)[-100:] >= 500).mean()
-    # the dense blob collapses to HIGH latent std here (the same polarity
-    # the full SPSNet uses: high-stds foreground points are the kept,
-    # informative ones — stability/hook.py)
     print(f'blob share of 100 LOWEST-std points: {lo_blob:.0%}; '
           f'of 100 HIGHEST-std: {hi_blob:.0%}')
     print(f'wrote {out}/data.png, {out}/topk.png')
