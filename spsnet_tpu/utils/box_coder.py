@@ -11,6 +11,7 @@ All coders are stateless dataclass-like objects whose methods are pure jnp.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -204,11 +205,141 @@ class PointResidualCoder:
         return jnp.stack([xg, yg, zg, dxg, dyg, dzg, rg], axis=-1)
 
 
+class PreviousResidualDecoder:
+    """Legacy decode-only coder (``box_coder_utils.py:80-109``): residual
+    decode with the (w, l, h) encoding order swapped relative to
+    ``ResidualCoder`` — dxg comes from the L slot, dyg from the W slot."""
+
+    def __init__(self, code_size=7, **kwargs):
+        self.code_size = code_size
+
+    @staticmethod
+    def decode(box_encodings, anchors):
+        xa, ya, za = anchors[..., 0], anchors[..., 1], anchors[..., 2]
+        dxa, dya, dza = anchors[..., 3], anchors[..., 4], anchors[..., 5]
+        ra = anchors[..., 6]
+        xt, yt, zt = (box_encodings[..., 0], box_encodings[..., 1],
+                      box_encodings[..., 2])
+        wt, lt, ht = (box_encodings[..., 3], box_encodings[..., 4],
+                      box_encodings[..., 5])
+        rt = box_encodings[..., 6]
+        diagonal = jnp.sqrt(dxa ** 2 + dya ** 2)
+        out = jnp.stack([
+            xt * diagonal + xa, yt * diagonal + ya, zt * dza + za,
+            jnp.exp(lt) * dxa, jnp.exp(wt) * dya, jnp.exp(ht) * dza,
+            rt + ra], axis=-1)
+        if box_encodings.shape[-1] > 7:
+            out = jnp.concatenate(
+                [out, box_encodings[..., 7:] + anchors[..., 7:]], axis=-1)
+        return out
+
+
+class PreviousResidualRoIDecoder(PreviousResidualDecoder):
+    """Same as ``PreviousResidualDecoder`` but rg = ra - rt
+    (``box_coder_utils.py:112-141``)."""
+
+    @staticmethod
+    def decode(box_encodings, anchors):
+        out = PreviousResidualDecoder.decode(box_encodings, anchors)
+        rg = anchors[..., 6] - box_encodings[..., 6]
+        return out.at[..., 6].set(rg)
+
+
+class PointBinResidualCoder:
+    """Bin-angle point coder with [0, 1]-normalized residuals and optional
+    velocity channels (``box_coder_utils.py:322-460``). Differs from
+    ``PointResidualBinOriCoder``: angles shift by half a bin before
+    bucketing and the residual is divided by the bin width."""
+
+    def __init__(self, use_mean_size=True, mean_size=None, angle_bin_num=12,
+                 pred_velo=False, **kwargs):
+        self.angle_bin_num = int(angle_bin_num)
+        self.code_size = 6 + 2 * self.angle_bin_num + (2 if pred_velo else 0)
+        self.pred_velo = bool(pred_velo)
+        self.use_mean_size = bool(use_mean_size)
+        if self.use_mean_size:
+            self.mean_size = jnp.asarray(np.asarray(mean_size, np.float32))
+
+    def encode_angle(self, angle):
+        two_pi = 2.0 * np.pi
+        per = two_pi / self.angle_bin_num
+        angle = jnp.remainder(angle, two_pi)
+        shifted = jnp.remainder(angle + per / 2.0, two_pi)
+        cls_f = jnp.floor(shifted / per)
+        onehot = jax.nn.one_hot(cls_f.astype(jnp.int32), self.angle_bin_num)
+        res = (shifted - (cls_f * per + per / 2.0)) / per
+        return onehot, onehot * res[..., None]
+
+    def decode_angle(self, angle_cls, angle_res):
+        per = 2.0 * np.pi / self.angle_bin_num
+        cls_idx = jnp.argmax(angle_cls, axis=-1)
+        res = jnp.take_along_axis(angle_res, cls_idx[..., None],
+                                  axis=-1)[..., 0] * per
+        return cls_idx.astype(angle_res.dtype) * per + res
+
+    def _anchor_dims(self, classes, like):
+        if self.use_mean_size:
+            size = self.mean_size[jnp.clip(classes - 1, 0, None)]
+            return size[..., 0], size[..., 1], size[..., 2]
+        one = jnp.ones_like(like)
+        return one, one, one
+
+    def encode(self, gt_boxes, points, gt_classes=None):
+        dxa, dya, dza = self._anchor_dims(gt_classes, gt_boxes[..., 0])
+        dims = jnp.clip(gt_boxes[..., 3:6], 1e-5, None)
+        if self.use_mean_size:
+            diag = jnp.sqrt(dxa ** 2 + dya ** 2)
+            xt = (gt_boxes[..., 0] - points[..., 0]) / diag
+            yt = (gt_boxes[..., 1] - points[..., 1]) / diag
+            zt = (gt_boxes[..., 2] - points[..., 2]) / dza
+            dxt = jnp.log(dims[..., 0] / dxa)
+            dyt = jnp.log(dims[..., 1] / dya)
+            dzt = jnp.log(dims[..., 2] / dza)
+        else:
+            xt = gt_boxes[..., 0] - points[..., 0]
+            yt = gt_boxes[..., 1] - points[..., 1]
+            zt = gt_boxes[..., 2] - points[..., 2]
+            dxt, dyt, dzt = (jnp.log(dims[..., i]) for i in range(3))
+        cls_oh, res = self.encode_angle(gt_boxes[..., 6])
+        parts = [jnp.stack([xt, yt, zt, dxt, dyt, dzt], axis=-1), cls_oh, res]
+        if gt_boxes.shape[-1] > 7:
+            parts.append(gt_boxes[..., 7:])
+        return jnp.concatenate(parts, axis=-1)
+
+    def decode(self, box_encodings, points, pred_classes=None):
+        A = self.angle_bin_num
+        off = box_encodings[..., :6]
+        dxa, dya, dza = self._anchor_dims(pred_classes, off[..., 0])
+        if self.use_mean_size:
+            diag = jnp.sqrt(dxa ** 2 + dya ** 2)
+            xg = off[..., 0] * diag + points[..., 0]
+            yg = off[..., 1] * diag + points[..., 1]
+            zg = off[..., 2] * dza + points[..., 2]
+            dxg = jnp.exp(off[..., 3]) * dxa
+            dyg = jnp.exp(off[..., 4]) * dya
+            dzg = jnp.exp(off[..., 5]) * dza
+        else:
+            xg = off[..., 0] + points[..., 0]
+            yg = off[..., 1] + points[..., 1]
+            zg = off[..., 2] + points[..., 2]
+            dxg, dyg, dzg = (jnp.exp(off[..., 3 + i]) for i in range(3))
+        rg = self.decode_angle(box_encodings[..., 6:6 + A],
+                               box_encodings[..., 6 + A:6 + 2 * A])
+        out = jnp.stack([xg, yg, zg, dxg, dyg, dzg, rg], axis=-1)
+        if box_encodings.shape[-1] > 6 + 2 * A:
+            out = jnp.concatenate([out, box_encodings[..., 6 + 2 * A:]],
+                                  axis=-1)
+        return out
+
+
 _CODERS = {
     'ResidualCoder': ResidualCoder,
     'PointResidualCoder': PointResidualCoder,
     'PointResidual_BinOri_Coder': PointResidualBinOriCoder,
     'PointResidualBinOriCoder': PointResidualBinOriCoder,
+    'PreviousResidualDecoder': PreviousResidualDecoder,
+    'PreviousResidualRoIDecoder': PreviousResidualRoIDecoder,
+    'PointBinResidualCoder': PointBinResidualCoder,
 }
 
 

@@ -1,5 +1,6 @@
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from spsnet_tpu.utils.box_coder import PointResidualBinOriCoder, ResidualCoder
 
@@ -49,3 +50,39 @@ def test_residual_coder_roundtrip():
     enc = coder.encode(jnp.asarray(boxes), jnp.asarray(anchors))
     dec = np.asarray(coder.decode(enc, jnp.asarray(anchors)))
     np.testing.assert_allclose(dec, boxes, atol=1e-4)
+
+
+def test_previous_residual_decoders():
+    from spsnet_tpu.utils.box_coder import (PreviousResidualDecoder,
+                                            PreviousResidualRoIDecoder)
+    anchors = jnp.asarray([[10.0, 5.0, -1.0, 3.9, 1.6, 1.5, 0.3]])
+    enc = jnp.asarray([[0.1, -0.2, 0.05, 0.0, 0.0, 0.0, 0.2]])
+    out = np.asarray(PreviousResidualDecoder.decode(enc, anchors))[0]
+    diag = np.sqrt(3.9 ** 2 + 1.6 ** 2)
+    assert out[0] == pytest.approx(0.1 * diag + 10.0, abs=1e-5)
+    # legacy (w, l, h) slot swap: exp(l-slot)*dxa for dx
+    assert out[3] == pytest.approx(3.9, abs=1e-5)
+    assert out[4] == pytest.approx(1.6, abs=1e-5)
+    assert out[6] == pytest.approx(0.5, abs=1e-6)
+    out2 = np.asarray(PreviousResidualRoIDecoder.decode(enc, anchors))[0]
+    assert out2[6] == pytest.approx(0.3 - 0.2, abs=1e-6)
+
+
+def test_point_bin_residual_coder_roundtrip():
+    from spsnet_tpu.utils.box_coder import PointBinResidualCoder
+    coder = PointBinResidualCoder(
+        use_mean_size=True, mean_size=[[3.9, 1.6, 1.56]], angle_bin_num=12)
+    assert coder.code_size == 30
+    rng = np.random.default_rng(0)
+    boxes = np.zeros((16, 7), np.float32)
+    boxes[:, 0:3] = rng.uniform(-5, 5, (16, 3))
+    boxes[:, 3:6] = rng.uniform(1, 4, (16, 3))
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, 16)
+    pts = rng.uniform(-5, 5, (16, 3)).astype(np.float32)
+    cls = np.ones(16, np.int32)
+    enc = coder.encode(jnp.asarray(boxes), jnp.asarray(pts),
+                       jnp.asarray(cls))
+    dec = np.asarray(coder.decode(enc, jnp.asarray(pts), jnp.asarray(cls)))
+    np.testing.assert_allclose(dec[:, :6], boxes[:, :6], atol=1e-4)
+    dtheta = np.remainder(dec[:, 6] - boxes[:, 6] + np.pi, 2 * np.pi) - np.pi
+    np.testing.assert_allclose(dtheta, 0.0, atol=1e-4)
