@@ -314,3 +314,34 @@ def nms_normal(boxes, scores, thresh, pre_maxsize=4096, post_maxsize=500, valid=
     """Axis-aligned NMS (parity: ``nms_normal_gpu``, ``iou3d_nms_utils.py:102-116``)."""
     return nms_bev(boxes, scores, thresh, pre_maxsize, post_maxsize, valid,
                    axis_aligned=True)
+
+
+@functools.partial(jax.jit, static_argnames=('pre_maxsize', 'post_maxsize'))
+def nms_circle(boxes, scores, min_radius_sq: float, pre_maxsize: int = 4096,
+               post_maxsize: int = 83, valid=None):
+    """Center-distance NMS (parity: ``centernet_utils.circle_nms:81-115``):
+    greedy suppression of boxes whose SQUARED BEV center distance to a kept
+    higher-scored box is <= min_radius_sq (the reference passes the squared
+    threshold). Same return convention as ``nms_bev``.
+    """
+    K = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((K,), dtype=bool)
+    pre = min(pre_maxsize, K)
+    masked = jnp.where(valid, scores, -jnp.inf)
+    top_scores, order = jax.lax.top_k(masked, pre)
+    sb = boxes[order]
+    sorted_valid = top_scores > -jnp.inf
+    d2 = jnp.sum((sb[:, None, :2] - sb[None, :, :2]) ** 2, axis=-1)
+    # reuse the greedy machinery with "overlap" = within the radius; the
+    # <= threshold maps to (min_radius_sq + eps) > d2
+    hit = (d2 <= min_radius_sq).astype(jnp.float32)
+    keep_mask = _greedy_suppress(jnp.where(hit > 0, 1.0, 0.0), sorted_valid,
+                                 0.5)
+    kept_rank = jnp.cumsum(keep_mask) - 1
+    post = min(post_maxsize, pre)
+    slot = jnp.where(keep_mask, kept_rank, post)
+    keep_idx = jnp.full((post,), -1, dtype=jnp.int32)
+    keep_idx = keep_idx.at[slot].set(order.astype(jnp.int32), mode='drop')
+    num = jnp.minimum(jnp.sum(keep_mask), post).astype(jnp.int32)
+    return keep_idx, num

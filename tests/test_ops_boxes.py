@@ -93,3 +93,39 @@ def test_nms_post_maxsize_cap():
     assert int(num) == 10
     order = np.argsort(-scores, kind='stable')[:10]
     np.testing.assert_array_equal(np.asarray(keep_idx), order)
+
+
+def test_nms_circle_matches_numpy_reference():
+    """Center-distance NMS vs the reference's numpy greedy loop."""
+    from spsnet_tpu.ops.boxes import nms_circle
+    rng = np.random.default_rng(0)
+    K = 64
+    boxes = np.zeros((K, 7), np.float32)
+    boxes[:, 0] = rng.uniform(0, 20, K)
+    boxes[:, 1] = rng.uniform(0, 20, K)
+    boxes[:, 3:6] = 1.0
+    scores = rng.uniform(size=K).astype(np.float32)
+    thresh = 4.0     # squared distance
+
+    # reference greedy (centernet_utils.circle_nms)
+    order = scores.argsort()[::-1]
+    suppressed = np.zeros(K, bool)
+    want = []
+    for _i in range(K):
+        i = order[_i]
+        if suppressed[i]:
+            continue
+        want.append(i)
+        for _j in range(_i + 1, K):
+            j = order[_j]
+            if suppressed[j]:
+                continue
+            d = (boxes[i, 0] - boxes[j, 0]) ** 2 + \
+                (boxes[i, 1] - boxes[j, 1]) ** 2
+            if d <= thresh:
+                suppressed[j] = True
+
+    keep, num = nms_circle(jnp.asarray(boxes), jnp.asarray(scores), thresh,
+                           post_maxsize=K)
+    got = list(np.asarray(keep)[:int(num)])
+    assert got == want
