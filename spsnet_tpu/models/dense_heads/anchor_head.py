@@ -38,29 +38,47 @@ def generate_anchors(anchor_generator_configs, grid_size, point_cloud_range,
     pcr = np.asarray(point_cloud_range, dtype=np.float32)
     nx = int(grid_size[0]) // feature_map_stride
     ny = int(grid_size[1]) // feature_map_stride
-    x_stride = (pcr[3] - pcr[0]) / nx
-    y_stride = (pcr[4] - pcr[1]) / ny
-    xs = pcr[0] + x_stride / 2 + np.arange(nx) * x_stride
-    ys = pcr[1] + y_stride / 2 + np.arange(ny) * y_stride
 
     all_anchors, cls_ids, m_thr, u_thr = [], [], [], []
     for ci, cfg in enumerate(anchor_generator_configs):
+        # Grid placement mirrors the reference AnchorGenerator
+        # (target_assigner/anchor_generator.py:26-40): align_center=True puts
+        # anchors at voxel centers (stride=span/n, +stride/2 offset);
+        # align_center=False (all KITTI configs) spans the full range
+        # inclusively (stride=span/(n-1), no offset). z is always shifted
+        # from bottom to box center by +dz/2 (reference line 59, applied
+        # unconditionally after the grid build).
+        if cfg.get('align_center', False):
+            x_stride = (pcr[3] - pcr[0]) / nx
+            y_stride = (pcr[4] - pcr[1]) / ny
+            x_off, y_off = x_stride / 2, y_stride / 2
+        else:
+            x_stride = (pcr[3] - pcr[0]) / (nx - 1)
+            y_stride = (pcr[4] - pcr[1]) / (ny - 1)
+            x_off, y_off = 0.0, 0.0
+        xs = pcr[0] + x_off + np.arange(nx) * x_stride
+        ys = pcr[1] + y_off + np.arange(ny) * y_stride
+
         sizes = np.asarray(cfg['anchor_sizes'], dtype=np.float32)
         rotations = np.asarray(cfg['anchor_rotations'], dtype=np.float32)
-        z = float(cfg['anchor_bottom_heights'][0])
-        for size in sizes:
-            for rot in rotations:
-                a = np.zeros((ny, nx, 7), dtype=np.float32)
-                a[..., 0] = xs[None, :]
-                a[..., 1] = ys[:, None]
-                a[..., 2] = z + (size[2] / 2 if cfg.get(
-                    'align_center', False) is False else 0.0)
-                a[..., 3:6] = size
-                a[..., 6] = rot
-                all_anchors.append(a)
-                cls_ids.append(ci + 1)
-                m_thr.append(float(cfg['matched_threshold']))
-                u_thr.append(float(cfg['unmatched_threshold']))
+        # All bottom heights are honored. Per-location ordering within a
+        # class is height -> size -> rotation (the reference's flatten order
+        # is only well-defined for a single height — every shipped config —
+        # so for multi-height we pick the ordering its
+        # num_anchors_per_location accounting implies).
+        for z_bottom in cfg['anchor_bottom_heights']:
+            for size in sizes:
+                for rot in rotations:
+                    a = np.zeros((ny, nx, 7), dtype=np.float32)
+                    a[..., 0] = xs[None, :]
+                    a[..., 1] = ys[:, None]
+                    a[..., 2] = float(z_bottom) + size[2] / 2
+                    a[..., 3:6] = size
+                    a[..., 6] = rot
+                    all_anchors.append(a)
+                    cls_ids.append(ci + 1)
+                    m_thr.append(float(cfg['matched_threshold']))
+                    u_thr.append(float(cfg['unmatched_threshold']))
     anchors = np.stack(all_anchors, axis=2)        # (ny, nx, A, 7)
     return (anchors, np.asarray(cls_ids, np.int32),
             np.asarray(m_thr, np.float32), np.asarray(u_thr, np.float32))

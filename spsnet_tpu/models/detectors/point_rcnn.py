@@ -36,6 +36,11 @@ class PointRCNN(nn.Module):
         batch = self.roi_head(batch, train=train)
         return batch
 
+    def loss(self, batch):
+        return pointrcnn_loss(batch, self.model_cfg, self.num_class,
+                              self.point_head.box_coder,
+                              self.roi_head.box_coder)
+
 
 def pointrcnn_loss(batch, model_cfg, num_class, point_box_coder,
                    roi_box_coder):

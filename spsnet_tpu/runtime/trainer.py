@@ -24,7 +24,12 @@ from ..parallel.mesh import make_mesh, replicate, shard_batch
 from .checkpoint import CheckpointManager
 from .optimization import build_optimizer
 
-DEVICE_BATCH_KEYS = ('points', 'gt_boxes', 'fake_labels', 'sem_labels', 'stds')
+# Host-only keys never shipped to device (strings / python metadata); every
+# other numeric array in the collated batch goes through shard_batch, so all
+# model families (point, voxel/pillar incl. sparse-conv plan tables, image)
+# train through the same Trainer.
+HOST_BATCH_KEYS = ('frame_id', 'metadata', 'calib', 'image_shape',
+                   'use_lead_xyz', 'batch_size')
 
 
 @struct.dataclass
@@ -36,11 +41,22 @@ class TrainState:
 
 
 def device_batch(batch):
-    return {k: batch[k] for k in DEVICE_BATCH_KEYS if k in batch}
+    out = {}
+    for k, v in batch.items():
+        if k in HOST_BATCH_KEYS:
+            continue
+        if isinstance(v, (np.ndarray, jnp.ndarray)) and (
+                np.issubdtype(v.dtype, np.number)
+                or np.issubdtype(v.dtype, np.bool_)):
+            out[k] = v
+    return out
 
 
 def make_loss_fn(model_cfg, num_class) -> Callable:
-    """Pure loss fn(batch_out) -> (loss, tb) built from static config."""
+    """Pure IASSD-family loss fn(batch_out) -> (loss, tb) built from static
+    config. Kept for direct use in tests; the Trainer dispatches to the
+    detector's own ``.loss`` method instead, so every family in the zoo
+    (anchor, center, two-stage, point) trains through the same CLI."""
     from ..utils.box_coder import build_box_coder
     head_cfg = model_cfg.POINT_HEAD
     coder = build_box_coder(head_cfg.TARGET_CONFIG.BOX_CODER,
@@ -58,19 +74,27 @@ def make_loss_fn(model_cfg, num_class) -> Callable:
     return loss_fn
 
 
-def make_train_step(model, loss_fn, tx, preprocess=None):
+def make_train_step(model, tx, preprocess=None, loss_fn=None):
     """``preprocess(batch, rng) -> batch`` runs inside the jitted step (e.g.
-    the SPSNet stability hook: frozen stds inference + point deletion)."""
+    the SPSNet stability hook: frozen stds inference + point deletion).
+
+    The loss comes from the detector's own ``.loss(batch_out)`` method
+    (every detector defines one), matching the reference where each detector
+    assembles its own loss (``detectors/*.py get_training_loss``); pass
+    ``loss_fn(out)`` to override."""
     def train_step(state: TrainState, batch):
         if preprocess is not None:
             rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
             batch = preprocess(batch, rng)
 
         def compute(params):
+            variables = {'params': params, 'batch_stats': state.batch_stats}
             out, mut = model.apply(
-                {'params': params, 'batch_stats': state.batch_stats},
-                batch, train=True, mutable=['batch_stats'])
-            loss, tb = loss_fn(out)
+                variables, batch, train=True, mutable=['batch_stats'])
+            if loss_fn is not None:
+                loss, tb = loss_fn(out)
+            else:
+                loss, tb = model.apply(variables, out, method='loss')
             return loss, (tb, mut['batch_stats'])
 
         (loss, (tb, new_bs)), grads = jax.value_and_grad(
@@ -150,14 +174,12 @@ class Trainer:
         self.total_iters_each_epoch = total_iters_each_epoch
         self.tx = build_optimizer(cfg.OPTIMIZATION, total_iters_each_epoch,
                                   self.total_epochs)
-        num_class = len(cfg.CLASS_NAMES)
-        self.loss_fn = make_loss_fn(cfg.MODEL, num_class)
         preprocess = None
         if cfg.MODEL.get('STABILITY_HOOK', None) is not None:
             preprocess = make_stability_preprocess(
                 cfg.MODEL.STABILITY_HOOK, logger=logger)
         self.preprocess = preprocess
-        self.train_step = make_train_step(model, self.loss_fn, self.tx,
+        self.train_step = make_train_step(model, self.tx,
                                           preprocess=preprocess)
         self.eval_step = make_eval_step(model, cfg.MODEL.POST_PROCESSING,
                                         preprocess=preprocess)

@@ -1,0 +1,280 @@
+"""Direct numerical parity against the ACTUAL reference implementation.
+
+Round-1 verdict item 5: ``tests/reference_impls.py`` is our own re-derivation;
+these tests instead import the reference's pure-Python modules from
+``/root/reference`` (torch CPU, CUDA deps stubbed — see reference_loader.py)
+and assert our jnp rebuilds match them on seeded random inputs. A failure
+here means a rebuilt formula drifted from the reference code itself.
+
+Covered: box coder family (``pcdet/utils/box_coder_utils.py``), the loss
+library (``pcdet/utils/loss_utils.py``), the anchor generator
+(``target_assigner/anchor_generator.py``), and geometry utils
+(``pcdet/utils/{common_utils,box_utils}.py``).
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+from tests.reference_loader import (  # noqa: E402
+    load_reference_file, load_reference_pcdet)
+
+load_reference_pcdet()
+
+from pcdet.utils import box_coder_utils as ref_coders  # noqa: E402
+from pcdet.utils import common_utils as ref_common  # noqa: E402
+from pcdet.utils import box_utils as ref_box_utils  # noqa: E402
+from pcdet.utils import loss_utils as ref_losses  # noqa: E402
+
+RefAnchorGenerator = load_reference_file(
+    'pcdet/models/dense_heads/target_assigner/anchor_generator.py',
+    'ref_anchor_generator').AnchorGenerator
+
+import jax.numpy as jnp  # noqa: E402
+
+from spsnet_tpu.utils import box_coder as our_coders  # noqa: E402
+from spsnet_tpu.utils import box_utils as our_box_utils  # noqa: E402
+from spsnet_tpu.utils import loss_utils as our_losses  # noqa: E402
+from spsnet_tpu.utils.common import rotate_points_along_z  # noqa: E402
+
+RNG = np.random.default_rng(1234)
+MEAN_SIZE = [[3.9, 1.6, 1.56], [0.8, 0.6, 1.73], [1.76, 0.6, 1.73]]
+
+
+def rand_boxes(n, rng=RNG):
+    b = np.zeros((n, 7), dtype=np.float32)
+    b[:, 0:3] = rng.uniform(-20, 20, (n, 3))
+    b[:, 3:6] = rng.uniform(0.5, 5.0, (n, 3))
+    b[:, 6] = rng.uniform(-np.pi + 1e-3, np.pi - 1e-3, n)
+    return b
+
+
+def t(x):
+    return torch.from_numpy(np.asarray(x))
+
+
+def close(ours, ref, atol=1e-5, rtol=1e-5):
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(),
+                               atol=atol, rtol=rtol)
+
+
+# ---------------------------------------------------------------- box coders
+
+@pytest.mark.parametrize('sincos', [False, True])
+def test_residual_coder(sincos):
+    ref = ref_coders.ResidualCoder(encode_angle_by_sincos=sincos)
+    ours = our_coders.ResidualCoder(encode_angle_by_sincos=sincos)
+    boxes, anchors = rand_boxes(64), rand_boxes(64)
+    enc_ref = ref.encode_torch(t(boxes), t(anchors))
+    close(ours.encode(jnp.asarray(boxes), jnp.asarray(anchors)), enc_ref)
+    dec_ref = ref.decode_torch(enc_ref, t(anchors))
+    close(ours.decode(jnp.asarray(enc_ref.numpy()), jnp.asarray(anchors)),
+          dec_ref)
+
+
+def test_point_residual_coder():
+    ref = ref_coders.PointResidualCoder(use_mean_size=True,
+                                        mean_size=MEAN_SIZE)
+    ours = our_coders.PointResidualCoder(use_mean_size=True,
+                                         mean_size=MEAN_SIZE)
+    boxes = rand_boxes(64)
+    pts = RNG.uniform(-20, 20, (64, 3)).astype(np.float32)
+    cls = RNG.integers(1, 4, 64)
+    enc_ref = ref.encode_torch(t(boxes), t(pts), t(cls))
+    close(ours.encode(jnp.asarray(boxes), jnp.asarray(pts), jnp.asarray(cls)),
+          enc_ref)
+    dec_ref = ref.decode_torch(enc_ref, t(pts), t(cls))
+    close(ours.decode(jnp.asarray(enc_ref.numpy()), jnp.asarray(pts),
+                      jnp.asarray(cls)), dec_ref, atol=1e-4)
+
+
+def test_point_residual_binori_coder():
+    ref = ref_coders.PointResidual_BinOri_Coder(use_mean_size=True,
+                                                mean_size=MEAN_SIZE)
+    ours = our_coders.PointResidualBinOriCoder(use_mean_size=True,
+                                               mean_size=MEAN_SIZE)
+    assert ours.code_size == ref.code_size == 30
+    boxes = rand_boxes(128)
+    pts = RNG.uniform(-20, 20, (128, 3)).astype(np.float32)
+    cls = RNG.integers(1, 4, 128)
+    enc_ref = ref.encode_torch(t(boxes), t(pts), t(cls))
+    close(ours.encode(jnp.asarray(boxes), jnp.asarray(pts), jnp.asarray(cls)),
+          enc_ref, atol=1e-4)
+    # decode consumes (N, 6 + 2*bins) prediction tensors
+    preds = RNG.normal(0, 1, (128, 30)).astype(np.float32)
+    dec_ref = ref.decode_torch(t(preds), t(pts), t(cls))
+    close(ours.decode(jnp.asarray(preds), jnp.asarray(pts), jnp.asarray(cls)),
+          dec_ref, atol=1e-4)
+
+
+def test_point_bin_residual_coder():
+    ref = ref_coders.PointBinResidualCoder(use_mean_size=True,
+                                           mean_size=MEAN_SIZE)
+    ours = our_coders.PointBinResidualCoder(use_mean_size=True,
+                                            mean_size=MEAN_SIZE)
+    boxes = rand_boxes(64)
+    pts = RNG.uniform(-20, 20, (64, 3)).astype(np.float32)
+    cls = RNG.integers(1, 4, 64)
+    enc_ref = ref.encode_torch(t(boxes), t(pts), t(cls))
+    close(ours.encode(jnp.asarray(boxes), jnp.asarray(pts), jnp.asarray(cls)),
+          enc_ref, atol=1e-4)
+    preds = RNG.normal(0, 1, (64, ours.code_size)).astype(np.float32)
+    dec_ref = ref.decode_torch(t(preds), t(pts), t(cls))
+    close(ours.decode(jnp.asarray(preds), jnp.asarray(pts), jnp.asarray(cls)),
+          dec_ref, atol=1e-4)
+
+
+def test_previous_residual_decoders():
+    anchors = rand_boxes(64)
+    enc = RNG.normal(0, 0.3, (64, 7)).astype(np.float32)
+    close(our_coders.PreviousResidualDecoder.decode(
+        jnp.asarray(enc), jnp.asarray(anchors)),
+        ref_coders.PreviousResidualDecoder.decode_torch(t(enc), t(anchors)),
+        atol=1e-4)
+    close(our_coders.PreviousResidualRoIDecoder.decode(
+        jnp.asarray(enc), jnp.asarray(anchors)),
+        ref_coders.PreviousResidualRoIDecoder.decode_torch(t(enc), t(anchors)),
+        atol=1e-4)
+
+
+# -------------------------------------------------------------------- losses
+
+def test_sigmoid_focal_loss():
+    logits = RNG.normal(0, 2, (4, 100, 3)).astype(np.float32)
+    targets = (RNG.uniform(size=(4, 100, 3)) < 0.2).astype(np.float32)
+    weights = RNG.uniform(0, 1, (4, 100)).astype(np.float32)
+    ref = ref_losses.SigmoidFocalClassificationLoss(gamma=2.0, alpha=0.25)
+    ref_out = ref(t(logits), t(targets), t(weights))
+    close(our_losses.sigmoid_focal_loss(
+        jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(weights)),
+        ref_out)
+
+
+def test_weighted_smooth_l1():
+    preds = RNG.normal(0, 1, (4, 50, 7)).astype(np.float32)
+    targets = RNG.normal(0, 1, (4, 50, 7)).astype(np.float32)
+    targets[0, :5, 2] = np.nan  # nan-target masking path
+    weights = RNG.uniform(0, 1, (4, 50)).astype(np.float32)
+    code_w = [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 2.0]
+    ref = ref_losses.WeightedSmoothL1Loss(beta=1.0 / 9.0, code_weights=code_w)
+    ref_out = ref(t(preds), t(targets), t(weights))
+    close(our_losses.weighted_smooth_l1(
+        jnp.asarray(preds), jnp.asarray(targets), jnp.asarray(weights),
+        code_weights=code_w), ref_out)
+
+
+def test_weighted_l1():
+    preds = RNG.normal(0, 1, (4, 50, 7)).astype(np.float32)
+    targets = RNG.normal(0, 1, (4, 50, 7)).astype(np.float32)
+    weights = RNG.uniform(0, 1, (4, 50)).astype(np.float32)
+    # code_weights=None crashes the reference itself (self.code_weights is
+    # only assigned when not None); shipped configs always pass it
+    code_w = [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 2.0]
+    ref = ref_losses.WeightedL1Loss(code_weights=code_w)
+    ref_out = ref(t(preds), t(targets), t(weights))
+    close(our_losses.weighted_l1(
+        jnp.asarray(preds), jnp.asarray(targets), jnp.asarray(weights),
+        code_weights=code_w), ref_out)
+
+
+def test_weighted_classification_loss():
+    """WeightedClassificationLoss = sigmoid CE (used by IA-SSD cls)."""
+    logits = RNG.normal(0, 2, (4, 60, 4)).astype(np.float32)
+    targets = (RNG.uniform(size=(4, 60, 4)) < 0.3).astype(np.float32)
+    weights = RNG.uniform(0, 1, (4, 60)).astype(np.float32)
+    ref = ref_losses.WeightedClassificationLoss()
+    ref_out = ref(t(logits), t(targets), t(weights), reduction='none')
+    close(our_losses.weighted_sigmoid_ce(
+        jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(weights)),
+        ref_out)
+
+
+def test_weighted_cross_entropy_loss():
+    logits = RNG.normal(0, 2, (4, 60, 4)).astype(np.float32)
+    cls_idx = RNG.integers(0, 4, (4, 60))
+    targets = np.eye(4, dtype=np.float32)[cls_idx]
+    weights = RNG.uniform(0, 1, (4, 60)).astype(np.float32)
+    ref = ref_losses.WeightedCrossEntropyLoss()
+    ref_out = ref(t(logits), t(targets), t(weights))
+    close(our_losses.weighted_softmax_ce(
+        jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(weights)),
+        ref_out, atol=1e-5)
+
+
+def test_corner_loss_lidar():
+    pred = rand_boxes(80)
+    gt = pred + RNG.normal(0, 0.1, pred.shape).astype(np.float32)
+    ref_out = ref_losses.get_corner_loss_lidar(t(pred), t(gt))
+    close(our_losses.get_corner_loss_lidar(jnp.asarray(pred),
+                                           jnp.asarray(gt)),
+          ref_out, atol=1e-4)
+
+
+# ---------------------------------------------------------- anchor generator
+
+@pytest.mark.parametrize('align_center', [False, True])
+def test_anchor_generator(align_center):
+    """Our generate_anchors must bit-match the reference AnchorGenerator
+    (grid placement, align_center branch, z bottom->center shift)."""
+    from spsnet_tpu.models.dense_heads.anchor_head import generate_anchors
+    pcr = [0.0, -39.68, -3.0, 69.12, 39.68, 1.0]
+    grid_size = [432, 496]      # full voxel grid; stride 2 -> 216x248 map
+    stride = 2
+    cfgs = [
+        {'class_name': 'Car', 'anchor_sizes': [[3.9, 1.6, 1.56]],
+         'anchor_rotations': [0, 1.57], 'anchor_bottom_heights': [-1.78],
+         'align_center': align_center, 'feature_map_stride': stride,
+         'matched_threshold': 0.6, 'unmatched_threshold': 0.45},
+        {'class_name': 'Pedestrian', 'anchor_sizes': [[0.8, 0.6, 1.73]],
+         'anchor_rotations': [0, 1.57], 'anchor_bottom_heights': [-0.6],
+         'align_center': align_center, 'feature_map_stride': stride,
+         'matched_threshold': 0.5, 'unmatched_threshold': 0.35},
+    ]
+    fmap = [grid_size[0] // stride, grid_size[1] // stride]
+    ref_gen = RefAnchorGenerator(pcr, cfgs)
+    ref_anchors, ref_num_per_loc = ref_gen.generate_anchors(
+        [fmap for _ in cfgs])
+
+    ours, cls_ids, m_thr, u_thr = generate_anchors(
+        cfgs, grid_size, pcr, stride)
+    # ours: (ny, nx, A, 7) with A ordered class -> size -> rot.
+    # ref per class: (nz=1, ny, nx, Ns, Nr, 7)
+    a = 0
+    for ci, ref_a in enumerate(ref_anchors):
+        ref_a = ref_a.numpy()[0]                       # (ny, nx, Ns, Nr, 7)
+        ns, nr = ref_a.shape[2], ref_a.shape[3]
+        for si in range(ns):
+            for ri in range(nr):
+                np.testing.assert_allclose(
+                    np.asarray(ours[:, :, a]), ref_a[:, :, si, ri],
+                    atol=1e-5,
+                    err_msg=f'class {ci} size {si} rot {ri} '
+                            f'(align_center={align_center})')
+                assert cls_ids[a] == ci + 1
+                a += 1
+    assert a == ours.shape[2]
+
+
+# ------------------------------------------------------------------ geometry
+
+def test_rotate_points_along_z():
+    pts = RNG.normal(0, 5, (4, 100, 3)).astype(np.float32)
+    ang = RNG.uniform(-np.pi, np.pi, 4).astype(np.float32)
+    ref_out = ref_common.rotate_points_along_z(t(pts), t(ang))
+    close(rotate_points_along_z(jnp.asarray(pts), jnp.asarray(ang)), ref_out,
+          atol=1e-5)
+
+
+def test_boxes_to_corners_3d():
+    boxes = rand_boxes(32)
+    ref_out = ref_box_utils.boxes_to_corners_3d(t(boxes))
+    close(our_box_utils.boxes_to_corners_3d(jnp.asarray(boxes)), ref_out,
+          atol=1e-4)
+
+
+def test_enlarge_box3d():
+    boxes = rand_boxes(32)
+    extra = [0.2, 0.2, 0.2]
+    ref_out = ref_box_utils.enlarge_box3d(t(boxes), extra)
+    close(our_box_utils.enlarge_box3d(jnp.asarray(boxes), tuple(extra)),
+          ref_out, atol=1e-6)

@@ -65,3 +65,33 @@ def test_train_steps_and_checkpoint(tmp_path):
     np.testing.assert_allclose(
         np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
         np.asarray(jax.tree_util.tree_leaves(state2.params)[0]), atol=1e-6)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('family', ['pointpillar', 'centerpoint'])
+def test_trainer_anchor_and_center_families(tmp_path, family):
+    """The Trainer must train non-point-family configs through the detector's
+    own loss (regression for round-1 advisor finding: Trainer hardwired the
+    IASSD point-head loss)."""
+    from spsnet_tpu.parallel.mesh import shard_batch
+    from spsnet_tpu.zoo import tiny_centerpoint_cfg, tiny_pointpillar_cfg
+    from tests.test_pointpillar import PCR, VOXEL, make_batch
+
+    model_cfg = (tiny_pointpillar_cfg() if family == 'pointpillar'
+                 else tiny_centerpoint_cfg())
+    cfg = EDict({'CLASS_NAMES': ['Car', 'Pedestrian', 'Cyclist'],
+                 'MODEL': model_cfg,
+                 'OPTIMIZATION': tiny_optimization_cfg()})
+    model = build_detector(cfg.MODEL, num_class=3, voxel_size=tuple(VOXEL),
+                           point_cloud_range=tuple(PCR))
+    mesh = make_mesh()
+    trainer = Trainer(cfg, model, tmp_path, total_iters_each_epoch=2,
+                      mesh=mesh)
+    rng = np.random.default_rng(0)
+    batch = {k: np.asarray(v) for k, v in make_batch(rng, B=8).items()}
+    state = trainer.init_state(batch)
+    db = shard_batch(device_batch(batch), mesh)
+    for _ in range(2):
+        state, metrics = trainer.train_step(state, db)
+    assert np.isfinite(float(metrics['loss']))
+    assert int(state.step) == 2
