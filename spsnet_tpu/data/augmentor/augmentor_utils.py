@@ -73,6 +73,22 @@ def _points_in_box_mask(points, box):
             (np.abs(lx) < box[3] / 2 + 1e-5) & (np.abs(ly) < box[4] / 2 + 1e-5))
 
 
+def random_world_translation(gt_boxes, points, noise_std,
+                             along=('x', 'y', 'z')):
+    """Global gaussian translation per axis (parity:
+    ``augmentor_utils.random_translation_along_{x,y,z}:199-250``): one
+    N(0, std) offset per axis applied to all points and box centers."""
+    axis_idx = {'x': 0, 'y': 1, 'z': 2}
+    gt_boxes = gt_boxes.copy()
+    points = points.copy()
+    for ax in along:
+        j = axis_idx[ax]
+        off = np.random.normal(0, noise_std)
+        points[:, j] += off
+        gt_boxes[:, j] += off
+    return gt_boxes, points
+
+
 def random_local_translation(gt_boxes, points, offset_range, along=('x', 'y', 'z')):
     """Per-gt-box random translation of the box and its points
     (parity: ``augmentor_utils.random_local_translation_along_*``)."""

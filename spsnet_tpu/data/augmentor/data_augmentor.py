@@ -68,6 +68,19 @@ class DataAugmentor:
         data_dict['points'] = points
         return data_dict
 
+    def random_world_translation(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.random_world_translation, config=config)
+        std = float(config.NOISE_TRANSLATE_STD)
+        if std == 0:
+            return data_dict
+        gt_boxes, points = augmentor_utils.random_world_translation(
+            data_dict['gt_boxes'], data_dict['points'], std,
+            along=config.get('ALONG_AXIS_LIST', ['x', 'y', 'z']))
+        data_dict['gt_boxes'] = gt_boxes
+        data_dict['points'] = points
+        return data_dict
+
     def random_local_translation(self, data_dict=None, config=None):
         if data_dict is None:
             return partial(self.random_local_translation, config=config)

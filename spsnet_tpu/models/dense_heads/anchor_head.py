@@ -115,14 +115,22 @@ def assign_anchor_targets(anchors_flat, anchor_cls, anchor_mthr, anchor_uthr,
     masking of ``AxisAlignedTargetAssigner.assign_targets``).
 
     Args:
-        anchors_flat: (N, 7); anchor_cls/m/u: (N,); gt_boxes: (T, 8) padded.
+        anchors_flat: (N, 7); anchor_cls/m/u: (N,); gt_boxes: (T, 8) padded —
+            or (T, 10) for nuScenes-style boxes with velocity
+            [x,y,z,dx,dy,dz,rot,vx,vy,cls]; the class is always the last
+            column and extra dims are encoded as residuals vs zero-padded
+            anchors (reference pads anchors to the coder's raw dim,
+            ``anchor_head_template.py generate_anchors``).
     Returns: labels (N,) int32 (-1/0/c), reg_targets (N, code), reg_w (N,).
     """
     N = anchors_flat.shape[0]
     gt_valid = gt_boxes[:, 3] > 0
-    gt_cls = gt_boxes[:, 7].astype(jnp.int32)
+    gt_cls = gt_boxes[:, -1].astype(jnp.int32)
+    box_dim = gt_boxes.shape[-1] - 1
+    if box_dim > 7:
+        anchors_flat = jnp.pad(anchors_flat, ((0, 0), (0, box_dim - 7)))
 
-    iou = nearest_bev_iou(anchors_flat, gt_boxes[:, :7])       # (N, T)
+    iou = nearest_bev_iou(anchors_flat[:, :7], gt_boxes[:, :7])  # (N, T)
     same_class = anchor_cls[:, None] == gt_cls[None, :]
     iou = jnp.where(same_class & gt_valid[None, :], iou, -1.0)
 
@@ -141,7 +149,7 @@ def assign_anchor_targets(anchors_flat, anchor_cls, anchor_mthr, anchor_uthr,
     labels = jnp.where(pos | force, matched_cls, labels)
 
     fg = labels > 0
-    enc = box_coder.encode(gt_boxes[a2g_arg, :7], anchors_flat)
+    enc = box_coder.encode(gt_boxes[a2g_arg, :box_dim], anchors_flat)
     reg_targets = jnp.where(fg[:, None], enc, 0.0)
     reg_weights = fg.astype(jnp.float32)
     return labels, reg_targets, reg_weights, a2g_arg
@@ -155,9 +163,12 @@ class AnchorHeadSingle(nn.Module):
     point_cloud_range: Any
 
     def setup(self):
+        tac = self.model_cfg.TARGET_ASSIGNER_CONFIG
+        bc_cfg = tac.get('BOX_CODER_CONFIG', None)
+        bc_cfg = dict(bc_cfg.to_dict()) if hasattr(bc_cfg, 'to_dict') else \
+            dict(bc_cfg or {})
         self.box_coder = box_coder_lib.build_box_coder(
-            self.model_cfg.TARGET_ASSIGNER_CONFIG.get('BOX_CODER',
-                                                      'ResidualCoder'))
+            tac.get('BOX_CODER', 'ResidualCoder'), **bc_cfg)
         agc = [dict(c.to_dict() if hasattr(c, 'to_dict') else c)
                for c in self.model_cfg.ANCHOR_GENERATOR_CONFIG]
         stride = int(agc[0].get('feature_map_stride', 2))
@@ -241,7 +252,10 @@ def anchor_head_loss(ret, loss_cfg, num_class, box_coder, num_dir_bins=2,
     care = labels >= 0
     positives = labels > 0
     neg = labels == 0
-    cls_w = (1.0 * neg + 1.0 * positives)
+    # pos/neg class weighting (anchor_head_multi.py get_cls_layer_loss uses
+    # pos_cls_weight/neg_cls_weight from LOSS_WEIGHTS; single head = 1/1)
+    cls_w = (lw.get('neg_cls_weight', 1.0) * neg
+             + lw.get('pos_cls_weight', 1.0) * positives)
     pos_norm = jnp.clip(positives.sum(axis=1, keepdims=True), 1.0, None)
     cls_w = cls_w / pos_norm
     one_hot = jax.nn.one_hot(jnp.clip(labels, 0, None), num_class + 1)[..., 1:]
@@ -305,9 +319,12 @@ class AnchorHeadMulti(nn.Module):
     class_names: Any = None
 
     def setup(self):
+        tac = self.model_cfg.TARGET_ASSIGNER_CONFIG
+        bc_cfg = tac.get('BOX_CODER_CONFIG', None)
+        bc_cfg = dict(bc_cfg.to_dict()) if hasattr(bc_cfg, 'to_dict') else \
+            dict(bc_cfg or {})
         self.box_coder = box_coder_lib.build_box_coder(
-            self.model_cfg.TARGET_ASSIGNER_CONFIG.get('BOX_CODER',
-                                                      'ResidualCoder'))
+            tac.get('BOX_CODER', 'ResidualCoder'), **bc_cfg)
         agc = [dict(c.to_dict() if hasattr(c, 'to_dict') else c)
                for c in self.model_cfg.ANCHOR_GENERATOR_CONFIG]
         names = list(self.class_names) if self.class_names is not None else \
@@ -326,6 +343,23 @@ class AnchorHeadMulti(nn.Module):
         else:
             self.shared_conv = None
 
+        sep = self.model_cfg.get('SEPARATE_REG_CONFIG', None)
+        if sep is not None:
+            n_mid = int(sep.NUM_MIDDLE_CONV)
+            n_fil = int(sep.NUM_MIDDLE_FILTER)
+            reg_list = [(s.split(':')[0], int(s.split(':')[1]))
+                        for s in sep.REG_LIST]
+            assert sum(ch for _, ch in reg_list) == self.box_coder.code_size, \
+                (reg_list, self.box_coder.code_size)
+            self.reg_list = reg_list
+
+        def mid_stack(prefix):
+            return [(nn.Conv(n_fil, (3, 3), padding='SAME', use_bias=False,
+                             name=f'{prefix}_mid{k}'),
+                     nn.BatchNorm(momentum=0.99, epsilon=1e-3,
+                                  name=f'{prefix}_mid{k}_bn'))
+                    for k in range(n_mid)]
+
         heads = []
         head_meta = []
         for hi, hcfg in enumerate(self.model_cfg.RPN_HEAD_CFGS):
@@ -339,16 +373,38 @@ class AnchorHeadMulti(nn.Module):
                  for ci in cls_local], np.int32)
             A = anchors.shape[2]
             C = len(head_names)
-            heads.append({
-                'cls': nn.Conv(A * C, (1, 1), name=f'head{hi}_cls',
-                               bias_init=nn.initializers.constant(
-                                   -np.log(99.0))),
-                'box': nn.Conv(A * self.box_coder.code_size, (1, 1),
-                               name=f'head{hi}_box'),
-                'dir': nn.Conv(A * self.num_dir_bins, (1, 1),
-                               name=f'head{hi}_dir') if self.use_dir
-                else None,
-            })
+            if sep is None:
+                heads.append({
+                    'cls': nn.Conv(A * C, (1, 1), name=f'head{hi}_cls',
+                                   bias_init=nn.initializers.constant(
+                                       -np.log(99.0))),
+                    'box': nn.Conv(A * self.box_coder.code_size, (1, 1),
+                                   name=f'head{hi}_box'),
+                    'dir': nn.Conv(A * self.num_dir_bins, (1, 1),
+                                   name=f'head{hi}_dir') if self.use_dir
+                    else None,
+                })
+            else:
+                # SEPARATE_REG_CONFIG (SingleHead separate path,
+                # anchor_head_multi.py:21-75): per-component reg branches
+                # [middle 3x3 conv+BN+ReLU]*k -> 3x3 out; cls gets its own
+                # middle stack; branch order (REG_LIST) IS the code layout
+                # [xy, z, size, angle(cos,sin), velo].
+                heads.append({
+                    'cls_mid': mid_stack(f'head{hi}_cls'),
+                    'cls': nn.Conv(A * C, (3, 3), padding='SAME',
+                                   name=f'head{hi}_cls',
+                                   bias_init=nn.initializers.constant(
+                                       -np.log(99.0))),
+                    'box_branches': [
+                        (rname, ch, mid_stack(f'head{hi}_{rname}'),
+                         nn.Conv(A * ch, (3, 3), padding='SAME',
+                                 name=f'head{hi}_{rname}'))
+                        for rname, ch in reg_list],
+                    'dir': nn.Conv(A * self.num_dir_bins, (1, 1),
+                                   name=f'head{hi}_dir') if self.use_dir
+                    else None,
+                })
             head_meta.append({
                 # (A, ny, nx, 7): multihead anchor-major flatten order
                 'anchors': jnp.asarray(
@@ -369,9 +425,23 @@ class AnchorHeadMulti(nn.Module):
 
         all_cls, all_box, all_dir = [], [], []
         anchors_list, cls_ids, mthr, uthr = [], [], [], []
+        def run_mid(feat, stack):
+            for conv, bn in stack:
+                feat = nn.relu(bn(conv(feat), use_running_average=not train))
+            return feat
+
         for head, meta in zip(self.heads, self.head_meta):
             A, C = meta['A'], meta['C']
-            cl = head['cls'](x).reshape(B, H, W, A, C)
+            if 'box_branches' in head:
+                cl = head['cls'](run_mid(x, head['cls_mid']))
+                parts = [out(run_mid(x, mid)).reshape(B, H, W, A, ch)
+                         for _, ch, mid, out in head['box_branches']]
+                bx = jnp.concatenate(parts, axis=-1)
+            else:
+                cl = head['cls'](x)
+                bx = head['box'](x).reshape(B, H, W, A,
+                                            self.box_coder.code_size)
+            cl = cl.reshape(B, H, W, A, C)
             cl = jnp.transpose(cl, (0, 3, 1, 2, 4)).reshape(B, A * H * W, C)
             # scatter local class logits into the global class columns
             gcls = jnp.full((B, A * H * W, self.num_class), -1e9, cl.dtype)
@@ -379,7 +449,6 @@ class AnchorHeadMulti(nn.Module):
                 gcls = gcls.at[..., col].set(cl[..., li])
             all_cls.append(gcls)
 
-            bx = head['box'](x).reshape(B, H, W, A, self.box_coder.code_size)
             all_box.append(jnp.transpose(bx, (0, 3, 1, 2, 4)).reshape(
                 B, A * H * W, -1))
             if self.use_dir:

@@ -44,13 +44,18 @@ def assign_center_targets(gt_boxes, num_classes, feature_map_size,
     """One frame (parity: ``assign_target_of_single_head``).
 
     Args:
-        gt_boxes: (T, 8) zero-padded.
+        gt_boxes: (T, 8) zero-padded [x,y,z,dx,dy,dz,rot,cls] — or (T, 10)
+            nuScenes-style [x,y,z,dx,dy,dz,rot,vx,vy,cls]; the class is
+            always the last column and, when present, velocity targets are
+            appended to ret_boxes (reference ``center_head.py``
+            ``assign_target_of_single_head`` gt_boxes.shape[1]>8 branch).
     Returns:
-        heatmap (num_classes, H, W), ret_boxes (num_max_objs, 8),
+        heatmap (num_classes, H, W), ret_boxes (num_max_objs, 8 [+2 vel]),
         inds (num_max_objs,), mask (num_max_objs,).
     """
     W, H = int(feature_map_size[0]), int(feature_map_size[1])
     T = gt_boxes.shape[0]
+    with_velocity = gt_boxes.shape[-1] > 8
     x, y, z = gt_boxes[:, 0], gt_boxes[:, 1], gt_boxes[:, 2]
     coord_x = jnp.clip((x - point_cloud_range[0]) / voxel_size[0]
                        / feature_map_stride, 0, W - 0.5)
@@ -76,7 +81,7 @@ def assign_center_targets(gt_boxes, num_classes, feature_map_size,
              (jnp.abs(ddy) <= radius[None, None, :])
     g = jnp.where(inside & valid[None, None, :], g, 0.0)
 
-    cls_idx = jnp.clip(gt_boxes[:, 7].astype(jnp.int32) - 1, 0,
+    cls_idx = jnp.clip(gt_boxes[:, -1].astype(jnp.int32) - 1, 0,
                        num_classes - 1)
     cls_onehot = jax.nn.one_hot(cls_idx, num_classes) \
         * valid[:, None]                           # (T, C)
@@ -87,7 +92,8 @@ def assign_center_targets(gt_boxes, num_classes, feature_map_size,
     slots = jnp.arange(M)
     take = jnp.clip(slots, 0, T - 1)
     sl_valid = (slots < T) & valid[take]
-    ret_boxes = jnp.zeros((M, 8), dtype=jnp.float32)
+    code = 10 if with_velocity else 8
+    ret_boxes = jnp.zeros((M, code), dtype=jnp.float32)
     ret_boxes = ret_boxes.at[:, 0].set(coord_x[take] - cint_x[take])
     ret_boxes = ret_boxes.at[:, 1].set(coord_y[take] - cint_y[take])
     ret_boxes = ret_boxes.at[:, 2].set(z[take])
@@ -95,6 +101,8 @@ def assign_center_targets(gt_boxes, num_classes, feature_map_size,
         jnp.log(jnp.clip(gt_boxes[take, 3:6], 1e-6, None)))
     ret_boxes = ret_boxes.at[:, 6].set(jnp.cos(gt_boxes[take, 6]))
     ret_boxes = ret_boxes.at[:, 7].set(jnp.sin(gt_boxes[take, 6]))
+    if with_velocity:
+        ret_boxes = ret_boxes.at[:, 8:10].set(gt_boxes[take, 7:9])
     ret_boxes = jnp.where(sl_valid[:, None], ret_boxes, 0.0)
     inds = jnp.where(sl_valid, cint_y[take] * W + cint_x[take], 0)
     # raw (7,) gt box per slot — consumed by CenterHeadIoU's IoU target
@@ -226,8 +234,8 @@ def center_head_loss(ret, loss_cfg):
     flat = preds.reshape(B, H * W, 8)
     at_inds = jnp.take_along_axis(flat, ret['inds'][..., None], axis=1)
     mask = ret['masks'].astype(jnp.float32)[..., None]
-    code_w = jnp.asarray(lw.get('code_weights', [1.0] * 8))
-    l1 = jnp.abs(at_inds - ret['box_targets']) * mask * code_w
+    code_w = jnp.asarray(lw.get('code_weights', [1.0] * 8))[:8]
+    l1 = jnp.abs(at_inds - ret['box_targets'][..., :8]) * mask * code_w
     loc_loss = l1.sum() / jnp.clip(mask.sum(), 1.0, None)
     loc_loss = loc_loss * lw.get('loc_weight', 2.0)
     total = hm_loss + loc_loss

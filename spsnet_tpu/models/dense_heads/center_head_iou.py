@@ -117,8 +117,11 @@ class CenterHeadIoU(nn.Module):
         pcr = np.asarray(self.point_cloud_range, np.float32)
         xs = (px + c_off[..., 0]) * self.feature_map_stride * vs[0] + pcr[0]
         ys = (py + c_off[..., 1]) * self.feature_map_stride * vs[1] + pcr[1]
-        return jnp.stack([xs, ys, c_z, dims[..., 0], dims[..., 1],
-                          dims[..., 2], angle], axis=-1)
+        cols = [xs, ys, c_z, dims[..., 0], dims[..., 1], dims[..., 2], angle]
+        out = jnp.stack(cols, axis=-1)
+        if 'vel' in pred:     # nuScenes: 9-dim boxes [..., rot, vx, vy]
+            out = jnp.concatenate([out, gather(pred['vel'])], axis=-1)
+        return out
 
     def __call__(self, batch, train: bool = True):
         x = self.shared_conv(batch['spatial_features_2d'])
@@ -133,15 +136,17 @@ class CenterHeadIoU(nn.Module):
             target_dicts = []
             for ids in self.class_ids_each_head:
                 # keep only this group's classes, remap labels to 1..G
-                gt = batch['gt_boxes']                       # (B, T, 8)
-                lbl = gt[..., 7].astype(jnp.int32)           # 1-based global
+                # (class is the LAST gt column: col 7 on KITTI 8-wide boxes,
+                # col 9 on nuScenes 10-wide boxes with velocity)
+                gt = batch['gt_boxes']                       # (B, T, 8|10)
+                lbl = gt[..., -1].astype(jnp.int32)          # 1-based global
                 remap = -jnp.ones((self.num_class + 1,), jnp.int32)
                 for li, gid in enumerate(ids):
                     remap = remap.at[gid + 1].set(li + 1)
                 new_lbl = remap[jnp.clip(lbl, 0, self.num_class)]
                 sel = new_lbl > 0
                 gt_g = jnp.where(sel[..., None], gt, 0.0)
-                gt_g = gt_g.at[..., 7].set(
+                gt_g = gt_g.at[..., -1].set(
                     jnp.where(sel, new_lbl, 0).astype(gt.dtype))
                 hm_t, boxes_t, inds_t, mask_t, gt7_t = jax.vmap(
                     lambda g: assign_center_targets(
@@ -270,7 +275,7 @@ def center_head_iou_loss(ret, loss_cfg, head_order):
             # reference clamps decoded boxes to +/-200 before the IoU
             # (center_head_iou.py:540) to dodge degenerate overlaps
             dec = jnp.clip(
-                jax.lax.stop_gradient(ret['decode_at_inds'][gi]),
+                jax.lax.stop_gradient(ret['decode_at_inds'][gi][..., :7]),
                 -200.0, 200.0)
             m = tgt['mask'].astype(jnp.float32)
             iou3d = jax.vmap(box_ops.boxes_iou3d_paired)(dec, tgt['gt7'])

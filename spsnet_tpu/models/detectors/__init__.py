@@ -44,4 +44,49 @@ def build_detector(model_cfg, num_class, dataset=None, **kwargs):
     # AL_3D dual-branch stack while point configs build the IA-SSD stack
     if model_cfg.NAME == 'PAGNet' and 'VFE' in model_cfg:
         cls = ALNet
+    # nuScenes AL.yaml drives the dual-branch stack as NAME: CenterPoint
+    # with BACKBONE_3D: AL_3D
+    if model_cfg.NAME == 'CenterPoint' and \
+            model_cfg.get('BACKBONE_3D', None) is not None and \
+            model_cfg.BACKBONE_3D.get('NAME', '') == 'AL_3D':
+        cls = ALNet
+    # detectors are flax dataclasses with family-specific fields (voxel_size,
+    # final_grid_zyx, class_names, ...); drop kwargs a family doesn't take so
+    # one config-derived kwargs dict serves the whole zoo
+    fields = getattr(cls, '__dataclass_fields__', {})
+    kwargs = {k: v for k, v in kwargs.items() if k in fields}
     return cls(model_cfg=model_cfg, num_class=num_class, **kwargs)
+
+
+def build_detector_from_cfg(cfg, **extra):
+    """Build from a FULL experiment config: derives the detector's geometry
+    kwargs (point-cloud range, voxel size, sparse-plan final grid, point
+    feature count) from DATA_CONFIG — the reference threads the same facts
+    through ``model_info_dict`` (``detector3d_template.py:40-55``)."""
+    import numpy as np
+
+    kwargs = dict(extra)
+    data_cfg = cfg.get('DATA_CONFIG', None)
+    if data_cfg is not None:
+        pcr = data_cfg.get('POINT_CLOUD_RANGE', None)
+        if pcr is not None:
+            kwargs.setdefault('point_cloud_range',
+                              tuple(float(v) for v in pcr))
+        for p in data_cfg.get('DATA_PROCESSOR', []) or []:
+            if p['NAME'] == 'transform_points_to_voxels':
+                kwargs.setdefault('voxel_size',
+                                  tuple(float(v) for v in p['VOXEL_SIZE']))
+        pfe = data_cfg.get('POINT_FEATURE_ENCODING', None)
+        if pfe is not None:
+            kwargs.setdefault('num_point_features',
+                              len(pfe['used_feature_list']))
+        if 'voxel_size' in kwargs and pcr is not None:
+            from ...data.processor.sparse_plan import plan_final_grid
+            span = np.asarray(pcr[3:6]) - np.asarray(pcr[0:3])
+            grid_xyz = np.round(
+                span / np.asarray(kwargs['voxel_size'])).astype(np.int64)
+            kwargs.setdefault('final_grid_zyx',
+                              plan_final_grid(grid_xyz[::-1]))
+    kwargs.setdefault('class_names', list(cfg.CLASS_NAMES))
+    return build_detector(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
+                          **kwargs)

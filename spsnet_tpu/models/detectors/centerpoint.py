@@ -9,6 +9,9 @@ import flax.linen as nn
 import numpy as np
 
 from ..backbones_2d import build_backbone_2d
+from ..backbones_3d.spconv_backbone import (HeightCompression,
+                                            VoxelBackBone8x,
+                                            VoxelResBackBone8x)
 from ..dense_heads.center_head import CenterHead, center_head_loss
 from ..dense_heads.center_head_iou import (CenterHeadIoU,
                                            center_head_iou_loss)
@@ -17,12 +20,17 @@ from ..vfe import build_vfe
 
 
 class CenterPoint(nn.Module):
+    """Pillar (VFE -> scatter) or voxel (VFE -> sparse 3D backbone ->
+    HeightCompression) trunk, selected by the presence of BACKBONE_3D —
+    matching the reference's generic module topology
+    (``detector3d_template.py:23-26``)."""
     model_cfg: Any
     num_class: int
     voxel_size: Any = (0.16, 0.16, 4)
     point_cloud_range: Any = (0, -39.68, -3, 69.12, 39.68, 1)
     num_point_features: int = 4
     class_names: Any = None
+    final_grid_zyx: Any = (2, 200, 176)
 
     def setup(self):
         pcr = np.asarray(self.point_cloud_range, dtype=np.float32)
@@ -34,16 +42,34 @@ class CenterPoint(nn.Module):
             num_point_features=self.num_point_features,
             voxel_size=tuple(float(v) for v in vs),
             point_cloud_range=tuple(float(v) for v in pcr))
-        self.map_to_bev_module = build_map_to_bev(
-            self.model_cfg.MAP_TO_BEV.NAME,
-            model_cfg=self.model_cfg.MAP_TO_BEV,
-            grid_size=self.grid_size)
+        if self.model_cfg.get('BACKBONE_3D', None) is not None:
+            bb_cls = VoxelResBackBone8x \
+                if self.model_cfg.BACKBONE_3D.NAME == 'VoxelResBackBone8x' \
+                else VoxelBackBone8x
+            self.backbone_3d = bb_cls(
+                model_cfg=self.model_cfg.BACKBONE_3D,
+                input_channels=self.num_point_features)
+            self.map_to_bev_module = HeightCompression(
+                model_cfg=self.model_cfg.MAP_TO_BEV,
+                grid_zyx=tuple(int(v) for v in self.final_grid_zyx))
+        else:
+            self.backbone_3d = None
+            self.map_to_bev_module = build_map_to_bev(
+                self.model_cfg.MAP_TO_BEV.NAME,
+                model_cfg=self.model_cfg.MAP_TO_BEV,
+                grid_size=self.grid_size)
         self.backbone_2d = build_backbone_2d(
             self.model_cfg.BACKBONE_2D.NAME,
             model_cfg=self.model_cfg.BACKBONE_2D,
             input_channels=int(self.model_cfg.MAP_TO_BEV.NUM_BEV_FEATURES))
-        # centerpoint_iou configs select the IoU-rectified head by NAME
-        if self.model_cfg.DENSE_HEAD.get('NAME', '') == 'CenterHeadIoU':
+        # centerpoint_iou configs select the IoU-rectified head by NAME;
+        # nuScenes CBGS configs (CLASS_NAMES_EACH_HEAD task groups, optional
+        # velocity branch) use the same multi-group machinery — without an
+        # 'iou' entry in HEAD_DICT it degrades to the plain CenterHead decode
+        # (rectifier 0 => score^1 * iou^0)
+        if self.model_cfg.DENSE_HEAD.get('NAME', '') == 'CenterHeadIoU' or \
+                self.model_cfg.DENSE_HEAD.get('CLASS_NAMES_EACH_HEAD',
+                                              None) is not None:
             self.dense_head = CenterHeadIoU(
                 model_cfg=self.model_cfg.DENSE_HEAD,
                 num_class=self.num_class,
@@ -61,6 +87,8 @@ class CenterPoint(nn.Module):
 
     def __call__(self, batch, train: bool = True):
         batch = self.vfe(batch, train=train)
+        if self.backbone_3d is not None:
+            batch = self.backbone_3d(batch, train=train)
         batch = self.map_to_bev_module(batch, train=train)
         batch = self.backbone_2d(batch, train=train)
         batch = self.dense_head(batch, train=train)

@@ -9,7 +9,8 @@ import flax.linen as nn
 import numpy as np
 
 from ..backbones_2d import build_backbone_2d
-from ..dense_heads.anchor_head import AnchorHeadSingle, anchor_head_loss
+from ..dense_heads.anchor_head import (AnchorHeadMulti, AnchorHeadSingle,
+                                       anchor_head_loss)
 from ..map_to_bev import build_map_to_bev
 from ..vfe import build_vfe
 
@@ -39,7 +40,12 @@ class PointPillar(nn.Module):
             self.model_cfg.BACKBONE_2D.NAME,
             model_cfg=self.model_cfg.BACKBONE_2D,
             input_channels=int(self.model_cfg.MAP_TO_BEV.NUM_BEV_FEATURES))
-        self.dense_head = AnchorHeadSingle(
+        # nuScenes CBGS configs (cbgs_pp_multihead.yaml) select the grouped
+        # multi-head RPN by DENSE_HEAD.NAME
+        head_cls = AnchorHeadMulti \
+            if self.model_cfg.DENSE_HEAD.get('NAME', '') == 'AnchorHeadMulti' \
+            else AnchorHeadSingle
+        self.dense_head = head_cls(
             model_cfg=self.model_cfg.DENSE_HEAD,
             num_class=self.num_class,
             grid_size=self.grid_size,

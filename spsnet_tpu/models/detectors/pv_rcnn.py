@@ -10,8 +10,12 @@ import flax.linen as nn
 import numpy as np
 
 from ..backbones_2d import build_backbone_2d
-from ..backbones_3d.spconv_backbone import HeightCompression, VoxelBackBone8x
+from ..backbones_3d.spconv_backbone import (HeightCompression,
+                                            VoxelBackBone8x,
+                                            VoxelResBackBone8x)
 from ..dense_heads.anchor_head import AnchorHeadSingle, anchor_head_loss
+from ..dense_heads.center_head_iou import (CenterHeadIoU,
+                                           center_head_iou_loss)
 from ..dense_heads.point_head_simple import (PointHeadSimple,
                                              point_head_simple_loss)
 from ..pfe import build_pfe
@@ -27,6 +31,7 @@ class PVRCNN(nn.Module):
     point_cloud_range: Any = (0, -40, -3, 70.4, 40, 1)
     num_point_features: int = 4
     final_grid_zyx: Any = (2, 200, 176)
+    class_names: Any = None
 
     def setup(self):
         pcr = np.asarray(self.point_cloud_range, dtype=np.float32)
@@ -36,7 +41,10 @@ class PVRCNN(nn.Module):
         self.vfe = build_vfe(self.model_cfg.VFE.NAME,
                              model_cfg=self.model_cfg.VFE,
                              num_point_features=self.num_point_features)
-        self.backbone_3d = VoxelBackBone8x(
+        bb_cls = VoxelResBackBone8x \
+            if self.model_cfg.BACKBONE_3D.get('NAME', '') == \
+            'VoxelResBackBone8x' else VoxelBackBone8x
+        self.backbone_3d = bb_cls(
             model_cfg=self.model_cfg.BACKBONE_3D,
             input_channels=self.num_point_features)
         self.map_to_bev_module = HeightCompression(
@@ -46,11 +54,22 @@ class PVRCNN(nn.Module):
             self.model_cfg.BACKBONE_2D.NAME,
             model_cfg=self.model_cfg.BACKBONE_2D,
             input_channels=int(self.model_cfg.MAP_TO_BEV.NUM_BEV_FEATURES))
-        self.dense_head = AnchorHeadSingle(
-            model_cfg=self.model_cfg.DENSE_HEAD,
-            num_class=self.num_class,
-            grid_size=self.grid_size,
-            point_cloud_range=tuple(float(v) for v in pcr))
+        # pv_rcnn_with_centerhead_rpn.yaml swaps the anchor RPN for a
+        # CenterHead; same multi-group machinery as CenterPoint
+        if self.model_cfg.DENSE_HEAD.get('NAME', '') == 'CenterHead':
+            self.dense_head = CenterHeadIoU(
+                model_cfg=self.model_cfg.DENSE_HEAD,
+                num_class=self.num_class,
+                grid_size=self.grid_size,
+                voxel_size=tuple(float(v) for v in vs),
+                point_cloud_range=tuple(float(v) for v in pcr),
+                class_names=self.class_names)
+        else:
+            self.dense_head = AnchorHeadSingle(
+                model_cfg=self.model_cfg.DENSE_HEAD,
+                num_class=self.num_class,
+                grid_size=self.grid_size,
+                point_cloud_range=tuple(float(v) for v in pcr))
         self.pfe = build_pfe(
             self.model_cfg.PFE.NAME,
             model_cfg=self.model_cfg.PFE,
@@ -77,11 +96,16 @@ class PVRCNN(nn.Module):
 
     def loss(self, batch):
         cfg = self.model_cfg
-        l_rpn, tb1 = anchor_head_loss(
-            batch['anchor_head_ret'], cfg.DENSE_HEAD.LOSS_CONFIG,
-            self.num_class, self.dense_head.box_coder,
-            num_dir_bins=int(cfg.DENSE_HEAD.get('NUM_DIR_BINS', 2)),
-            dir_offset=float(cfg.DENSE_HEAD.get('DIR_OFFSET', 0.78539)))
+        if 'center_head_iou_ret' in batch:
+            l_rpn, tb1 = center_head_iou_loss(
+                batch['center_head_iou_ret'], cfg.DENSE_HEAD.LOSS_CONFIG,
+                tuple(cfg.DENSE_HEAD.SEPARATE_HEAD_CFG.HEAD_ORDER))
+        else:
+            l_rpn, tb1 = anchor_head_loss(
+                batch['anchor_head_ret'], cfg.DENSE_HEAD.LOSS_CONFIG,
+                self.num_class, self.dense_head.box_coder,
+                num_dir_bins=int(cfg.DENSE_HEAD.get('NUM_DIR_BINS', 2)),
+                dir_offset=float(cfg.DENSE_HEAD.get('DIR_OFFSET', 0.78539)))
         l_pt, tb2 = point_head_simple_loss(
             batch['point_head_simple_ret'], cfg.POINT_HEAD.LOSS_CONFIG)
         l_rcnn, tb3 = pointrcnn_head_loss(

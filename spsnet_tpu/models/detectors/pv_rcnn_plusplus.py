@@ -14,7 +14,9 @@ import flax.linen as nn
 import numpy as np
 
 from ..backbones_2d import build_backbone_2d
-from ..backbones_3d.spconv_backbone import HeightCompression, VoxelBackBone8x
+from ..backbones_3d.spconv_backbone import (HeightCompression,
+                                            VoxelBackBone8x,
+                                            VoxelResBackBone8x)
 from ..dense_heads.center_head import CenterHead, center_head_loss
 from ..dense_heads.point_head_simple import (PointHeadSimple,
                                              point_head_simple_loss)
@@ -40,7 +42,10 @@ class PVRCNNPlusPlus(nn.Module):
         self.vfe = build_vfe(self.model_cfg.VFE.NAME,
                              model_cfg=self.model_cfg.VFE,
                              num_point_features=self.num_point_features)
-        self.backbone_3d = VoxelBackBone8x(
+        bb_cls = VoxelResBackBone8x \
+            if self.model_cfg.BACKBONE_3D.get('NAME', '') == \
+            'VoxelResBackBone8x' else VoxelBackBone8x
+        self.backbone_3d = bb_cls(
             model_cfg=self.model_cfg.BACKBONE_3D,
             input_channels=self.num_point_features)
         self.map_to_bev_module = HeightCompression(

@@ -11,6 +11,8 @@ import numpy as np
 from ..backbones_2d import build_backbone_2d
 from ..backbones_3d.spconv_backbone import HeightCompression, VoxelBackBone8x
 from ..dense_heads.anchor_head import AnchorHeadSingle, anchor_head_loss
+from ..dense_heads.center_head_iou import (CenterHeadIoU,
+                                           center_head_iou_loss)
 from ..roi_heads.pointrcnn_head import pointrcnn_head_loss
 from ..roi_heads.voxelrcnn_head import VoxelRCNNHead
 from ..vfe import build_vfe
@@ -23,6 +25,7 @@ class VoxelRCNN(nn.Module):
     point_cloud_range: Any = (0, -40, -3, 70.4, 40, 1)
     num_point_features: int = 4
     final_grid_zyx: Any = (2, 200, 176)
+    class_names: Any = None
 
     def setup(self):
         pcr = np.asarray(self.point_cloud_range, dtype=np.float32)
@@ -42,11 +45,22 @@ class VoxelRCNN(nn.Module):
             self.model_cfg.BACKBONE_2D.NAME,
             model_cfg=self.model_cfg.BACKBONE_2D,
             input_channels=int(self.model_cfg.MAP_TO_BEV.NUM_BEV_FEATURES))
-        self.dense_head = AnchorHeadSingle(
-            model_cfg=self.model_cfg.DENSE_HEAD,
-            num_class=self.num_class,
-            grid_size=self.grid_size,
-            point_cloud_range=tuple(float(v) for v in pcr))
+        # voxel_rcnn_with_centerhead_dyn_voxel.yaml swaps the anchor RPN
+        # for a CenterHead (same multi-group machinery as CenterPoint)
+        if self.model_cfg.DENSE_HEAD.get('NAME', '') == 'CenterHead':
+            self.dense_head = CenterHeadIoU(
+                model_cfg=self.model_cfg.DENSE_HEAD,
+                num_class=self.num_class,
+                grid_size=self.grid_size,
+                voxel_size=tuple(float(v) for v in vs),
+                point_cloud_range=tuple(float(v) for v in pcr),
+                class_names=self.class_names)
+        else:
+            self.dense_head = AnchorHeadSingle(
+                model_cfg=self.model_cfg.DENSE_HEAD,
+                num_class=self.num_class,
+                grid_size=self.grid_size,
+                point_cloud_range=tuple(float(v) for v in pcr))
         self.roi_head = VoxelRCNNHead(
             model_cfg=self.model_cfg.ROI_HEAD,
             num_class=1 if self.model_cfg.ROI_HEAD.CLASS_AGNOSTIC
@@ -65,6 +79,16 @@ class VoxelRCNN(nn.Module):
 
     def loss(self, batch):
         cfg = self.model_cfg
+        if 'center_head_iou_ret' in batch:
+            l_rpn, tb1 = center_head_iou_loss(
+                batch['center_head_iou_ret'], cfg.DENSE_HEAD.LOSS_CONFIG,
+                tuple(cfg.DENSE_HEAD.SEPARATE_HEAD_CFG.HEAD_ORDER))
+            l_rcnn, tb3 = pointrcnn_head_loss(
+                batch['roi_head_ret'], cfg.ROI_HEAD.LOSS_CONFIG,
+                self.roi_head.box_coder)
+            tb = dict(tb1)
+            tb.update(tb3)
+            return l_rpn + l_rcnn, tb
         l_rpn, tb1 = anchor_head_loss(
             batch['anchor_head_ret'], cfg.DENSE_HEAD.LOSS_CONFIG,
             self.num_class, self.dense_head.box_coder,

@@ -8,6 +8,8 @@ __all__ = {
     # (V, P, C) intermediate on GPU; the TPU path needs host-planned sparse
     # conv tables anyway, so MeanVFE over the host layout is the equivalent
     'DynamicMeanVFE': MeanVFE,
+    # reference registry name used by cbgs_dyn_pp_centerpoint.yaml
+    'DynPillarVFE': DynamicPillarVFE,
 }
 
 

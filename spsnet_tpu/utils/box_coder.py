@@ -55,6 +55,14 @@ class ResidualCoder:
         else:
             xt, yt, zt, dxt, dyt, dzt, cost, sint = jnp.split(encodings[..., :8], 8, axis=-1)
             rest = encodings[..., 8:]
+        if rest.shape[-1] > anchors.shape[-1] - 7:
+            # extra code dims (e.g. velocity) with plain 7-dim anchors: the
+            # reference zero-pads anchors to the coder's raw dim
+            # (anchor_head_template.py generate_anchors anchor_ndim branch)
+            pad = rest.shape[-1] - (anchors.shape[-1] - 7)
+            anchors = jnp.concatenate(
+                [anchors, jnp.zeros(anchors.shape[:-1] + (pad,),
+                                    anchors.dtype)], axis=-1)
 
         diagonal = jnp.sqrt(dxa ** 2 + dya ** 2)
         xg = xt * diagonal + xa

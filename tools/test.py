@@ -42,7 +42,7 @@ def main():
     from tools.train import create_logger
 
     from spsnet_tpu.data import build_dataloader
-    from spsnet_tpu.models import build_detector
+    from spsnet_tpu.models.detectors import build_detector_from_cfg
     from spsnet_tpu.runtime.trainer import Trainer
 
     output_dir = Path(cfg.ROOT_DIR) / 'output' / cfg.EXP_GROUP_PATH / \
@@ -59,7 +59,7 @@ def main():
         root_path=cfg.DATA_CONFIG.DATA_PATH, workers=args.workers,
         logger=logger, training=False)
 
-    model = build_detector(cfg.MODEL, num_class=len(cfg.CLASS_NAMES))
+    model = build_detector_from_cfg(cfg)
     trainer = Trainer(cfg, model, output_dir, logger=logger,
                       total_iters_each_epoch=max(len(loader), 1))
     example = next(iter(loader))

@@ -64,7 +64,7 @@ def main():
     import jax
 
     from spsnet_tpu.data import build_dataloader
-    from spsnet_tpu.models import build_detector
+    from spsnet_tpu.models.detectors import build_detector_from_cfg
     from spsnet_tpu.runtime.trainer import Trainer
 
     output_dir = Path(args.output_dir) if args.output_dir else \
@@ -87,7 +87,7 @@ def main():
         logger=logger, training=True, seed=args.seed,
         num_shards=jax.process_count(), shard_id=jax.process_index())
 
-    model = build_detector(cfg.MODEL, num_class=len(cfg.CLASS_NAMES))
+    model = build_detector_from_cfg(cfg)
     trainer = Trainer(cfg, model, output_dir, logger=logger,
                       total_iters_each_epoch=len(loader))
 
