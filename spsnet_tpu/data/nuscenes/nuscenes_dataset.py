@@ -131,6 +131,47 @@ class NuScenesDataset(DatasetTemplate):
             data_dict['gt_boxes'] = np.nan_to_num(gt)
         return data_dict
 
+    def create_groundtruth_database(self, used_classes=None, max_sweeps=10):
+        """GT-crop database for gt_sampling (parity:
+        ``nuscenes_dataset.py:337-380``): per-object point crops centered at
+        the box, ``nuscenes_dbinfos_{N}sweeps_withvelo.pkl`` index."""
+        from ..processor.data_processor import points_in_boxes_cpu_np
+
+        database_save_path = self.root_path / \
+            f'gt_database_{max_sweeps}sweeps_withvelo'
+        db_info_save_path = self.root_path / \
+            f'nuscenes_dbinfos_{max_sweeps}sweeps_withvelo.pkl'
+        database_save_path.mkdir(parents=True, exist_ok=True)
+        all_db_infos = {}
+        for idx in range(len(self.infos)):
+            info = self.infos[idx]
+            points = self.get_lidar_with_sweeps(idx, max_sweeps=max_sweeps)
+            gt_boxes = np.asarray(info['gt_boxes'])
+            gt_names = np.asarray(info['gt_names'])
+            if len(gt_boxes) == 0:
+                continue
+            ind = points_in_boxes_cpu_np(points[:, :3], gt_boxes[:, :7])
+            box_idxs = np.where(ind.any(axis=0), ind.argmax(axis=0), -1)
+            for i in range(gt_boxes.shape[0]):
+                filename = f'{idx}_{gt_names[i]}_{i}.bin'
+                filepath = database_save_path / filename
+                gt_points = points[box_idxs == i].copy()
+                gt_points[:, :3] -= gt_boxes[i, :3]
+                gt_points.astype(np.float32).tofile(filepath)
+                if used_classes is None or gt_names[i] in used_classes:
+                    db_info = {
+                        'name': gt_names[i],
+                        'path': str(filepath.relative_to(self.root_path)),
+                        'image_idx': idx, 'gt_idx': i,
+                        'box3d_lidar': gt_boxes[i],
+                        'num_points_in_gt': gt_points.shape[0],
+                    }
+                    all_db_infos.setdefault(gt_names[i], []).append(db_info)
+        for k, v in all_db_infos.items():
+            print(f'Database {k}: {len(v)}')
+        with open(db_info_save_path, 'wb') as f:
+            pickle.dump(all_db_infos, f)
+
     @staticmethod
     def generate_prediction_dicts(batch_dict, pred_dicts, class_names,
                                   output_path=None):

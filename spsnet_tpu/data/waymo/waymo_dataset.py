@@ -142,12 +142,10 @@ class WaymoDataset(DatasetTemplate):
                         info['point_cloud']['lidar_sequence'],
                         info['point_cloud']['sample_idx'])
                     from ..processor.data_processor import points_in_boxes_cpu_np
-                    idx = points_in_boxes_cpu_np(
+                    ind = points_in_boxes_cpu_np(
                         pts[:, :3], info['annos']['gt_boxes_lidar'][:, :7])
-                    info['annos']['num_points_in_gt'] = np.asarray(
-                        [(idx == i).sum() for i in
-                         range(len(info['annos']['gt_boxes_lidar']))],
-                        dtype=np.int32)
+                    info['annos']['num_points_in_gt'] = \
+                        ind.sum(axis=1).astype(np.int32)
                 all_infos.append(info)
         return all_infos
 
@@ -196,8 +194,9 @@ class WaymoDataset(DatasetTemplate):
             num_obj = gt_boxes.shape[0]
             if num_obj == 0:
                 continue
-            box_idxs = points_in_boxes_cpu_np(points[:, :3],
-                                              gt_boxes[:, :7])
+            ind = points_in_boxes_cpu_np(points[:, :3], gt_boxes[:, :7])
+            # per-point first-box index (points_in_boxes_gpu semantics)
+            box_idxs = np.where(ind.any(axis=0), ind.argmax(axis=0), -1)
             for i in range(num_obj):
                 filename = f'{sequence_name}_{sample_idx:04d}_{names[i]}_{i}.bin'
                 filepath = database_save_path / filename
@@ -236,7 +235,7 @@ class WaymoDataset(DatasetTemplate):
             })
         return annos
 
-    def evaluation(self, det_annos, class_names, **kwargs):
+    def evaluation(self, det_annos, class_names, **kwargs):  # noqa: C901
         """Native numpy Waymo protocol (3D-IoU mAP/mAPH at L1/L2,
         ``eval/waymo_eval.py``); pass eval_metric='kitti' for the
         kitti-style fallback."""
@@ -267,3 +266,36 @@ class WaymoDataset(DatasetTemplate):
         result_str, result_dict = get_official_eval_result(
             eval_gt, eval_det, classes)
         return result_str, result_dict
+
+
+def create_waymo_infos(dataset_cfg, class_names, data_path, save_path,
+                       raw_data_tag='raw_data',
+                       processed_data_tag='waymo_processed_data',
+                       workers=8):
+    """Info + gt-database generation driver (parity:
+    ``waymo_dataset.py:403-445``): train/val info aggregation then the
+    train-split gt database."""
+    dataset = WaymoDataset(dataset_cfg=dataset_cfg, class_names=class_names,
+                           root_path=data_path, training=False)
+    train_filename = save_path / f'{processed_data_tag}_infos_train.pkl'
+    val_filename = save_path / f'{processed_data_tag}_infos_val.pkl'
+
+    for split, filename in [('train', train_filename),
+                            ('val', val_filename)]:
+        dataset.set_split(split)
+        infos = dataset.get_infos(
+            raw_data_path=data_path / raw_data_tag,
+            save_path=save_path / processed_data_tag,
+            num_workers=workers, has_label=True, sampled_interval=1)
+        with open(filename, 'wb') as f:
+            pickle.dump(infos, f)
+        print(f'Waymo info {split} file saved to {filename} '
+              f'({len(infos)} frames)')
+
+    dataset.set_split('train')
+    dataset.create_groundtruth_database(
+        info_path=train_filename, save_path=save_path, split='train',
+        sampled_interval=1,
+        used_classes=['Vehicle', 'Pedestrian', 'Cyclist'],
+        processed_data_tag=processed_data_tag)
+    print('Waymo data preparation done')
