@@ -77,6 +77,14 @@ class DataLoader:
         n_batches = len(self)
         batches = [indices[i * self.batch_size:(i + 1) * self.batch_size]
                    for i in range(n_batches)]
+        if not self.drop_last and batches and \
+                len(batches[-1]) < self.batch_size:
+            # pad the final eval batch to full size so it divides across the
+            # device mesh; duplicates are dropped downstream by frame_id
+            # (Trainer.evaluate dedup)
+            last = batches[-1]
+            pad = self.batch_size - len(last)
+            batches[-1] = np.concatenate([last, np.repeat(last[-1:], pad)])
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 

@@ -35,15 +35,22 @@ class PFNLayer(nn.Module):
 
     @nn.compact
     def __call__(self, inputs, mask, train: bool = True):
-        """inputs (B, V, P, C); mask (B, V, P) valid points."""
+        """inputs (B, V, P, C); mask (B, V, P) valid points (unused — kept
+        for call-site stability).
+
+        Reference semantics (``pillar_vfe.py:29-48``): padded point slots
+        are zeroed ONCE before the PFN stack (``PillarVFE.forward``) and the
+        max-pool runs over ALL slots, so each channel has an f(0) activation
+        floor in partially-filled pillars. Reproduced exactly for
+        checkpoint/output parity (round 1 masked to -1e9 before the max,
+        which excludes padded activations — deviation removed)."""
         units = self.out_channels if self.last_layer else self.out_channels // 2
         x = nn.Dense(units, use_bias=not self.use_norm)(inputs)
         if self.use_norm:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3)(x)
         x = nn.relu(x)
-        x_masked = jnp.where(mask[..., None], x, -1e9)
-        x_max = jnp.max(x_masked, axis=2, keepdims=True)    # (B, V, 1, U)
+        x_max = jnp.max(x, axis=2, keepdims=True)           # (B, V, 1, U)
         if self.last_layer:
             return x_max[:, :, 0, :]
         x_repeat = jnp.broadcast_to(x_max, x.shape)

@@ -2,27 +2,60 @@
 
 Where the reference ships CUDA/numba for host-side hot loops (the KITTI
 evaluator's rotated IoU + statistics, ``kitti_object_eval_python``), we build
-a small C++ shared library at first use with the system toolchain.
+a small C++ shared library at first use with the system toolchain. The
+binary lives in a per-source-hash cache directory (never in the source tree
+or git); a one-time numpy parity self-check guards against a stale or
+miscompiled library silently computing the official metrics.
 """
 from __future__ import annotations
 
 import ctypes
+import hashlib
+import os
 import subprocess
+import tempfile
 from pathlib import Path
 
 import numpy as np
 
 _DIR = Path(__file__).resolve().parent
-_LIB_PATH = _DIR / 'libkitti_eval.so'
 _lib = None
 _build_failed = False
 
 
-def _build():
+def _lib_path():
+    """Cache path keyed by source hash: a changed .cpp always rebuilds,
+    a fresh checkout never trusts a stale binary."""
+    src = (_DIR / 'kitti_eval_native.cpp').read_bytes()
+    h = hashlib.sha256(src).hexdigest()[:16]
+    cache = Path(os.environ.get('SPSNET_NATIVE_CACHE',
+                                Path(tempfile.gettempdir()) /
+                                'spsnet_tpu_native'))
+    cache.mkdir(parents=True, exist_ok=True)
+    return cache / f'libkitti_eval-{h}.so'
+
+
+def _build(lib_path):
     src = _DIR / 'kitti_eval_native.cpp'
     cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
-           '-o', str(_LIB_PATH), str(src)]
+           '-o', str(lib_path), str(src)]
     subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _self_check(lib):
+    """Native rotated IoU must match the numpy reference on a fixed case."""
+    from ..eval.rotate_iou import rotate_iou_eval as rotate_iou_eval_numpy
+    rng = np.random.default_rng(0)
+    boxes = np.zeros((4, 5), dtype=np.float32)
+    boxes[:, 0:2] = rng.uniform(-2, 2, (4, 2))
+    boxes[:, 2:4] = rng.uniform(1, 3, (4, 2))
+    boxes[:, 4] = rng.uniform(-np.pi, np.pi, 4)
+    n, k = 4, 4
+    out = np.zeros((n, k), dtype=np.float32)
+    lib.rotate_iou_eval(_fptr(boxes), n, _fptr(boxes), k, -1, _fptr(out))
+    ref = rotate_iou_eval_numpy(boxes, boxes)
+    if not np.allclose(out, ref, atol=1e-4):
+        raise RuntimeError('native kitti_eval parity self-check failed')
 
 
 def get_lib():
@@ -33,10 +66,10 @@ def get_lib():
     if _build_failed:
         return None
     try:
-        if not _LIB_PATH.exists() or \
-                _LIB_PATH.stat().st_mtime < (_DIR / 'kitti_eval_native.cpp').stat().st_mtime:
-            _build()
-        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib_path = _lib_path()
+        if not lib_path.exists():
+            _build(lib_path)
+        lib = ctypes.CDLL(str(lib_path))
         lib.rotate_iou_eval.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
@@ -52,6 +85,7 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64)]
+        _self_check(lib)
         _lib = lib
         return _lib
     except Exception:

@@ -59,7 +59,21 @@ def _query_d2(ctr, xyz):
             + diff[..., 2] * diff[..., 2])
 
 
+_METHOD_OVERRIDE = None
+
+
+def set_first_k_method(method):
+    """Force 'exact'/'approx' first-k globally (None restores 'auto').
+    Call ``jax.clear_caches()`` afterwards — jitted callers cache traces
+    keyed on their own static args, not this override. Used by
+    tools/validate_approx_topk.py to bound the approx-top-k output delta."""
+    global _METHOD_OVERRIDE
+    _METHOD_OVERRIDE = method
+
+
 def _resolve_method(method):
+    if _METHOD_OVERRIDE is not None:
+        return _METHOD_OVERRIDE
     if method == 'auto':
         # Sort-based exact top-k is ~17x slower than the TPU-optimized
         # approximate PartialReduce at IA-SSD sizes (measured on v5e);

@@ -248,10 +248,60 @@ class Trainer:
         mlog.close()
         return state
 
+    @staticmethod
+    def _dedup_by_frame_id(det_annos):
+        """Drop sampler-padding duplicates, keeping first occurrence (the
+        loader pads partial tails and wrap-around shards by repeating
+        frames; dataset.evaluation is positional over unique frames)."""
+        seen = set()
+        out = []
+        for a in det_annos:
+            fid = str(a.get('frame_id'))
+            if fid in seen:
+                continue
+            seen.add(fid)
+            out.append(a)
+        return out
+
+    def _merge_results_multiprocess(self, det_annos):
+        """Cross-process det-annos merge via the shared filesystem (parity:
+        ``common_utils.merge_results_dist:201-222``): each process dumps its
+        shard, process 0 interleaves them back into dataset order. Returns
+        None on non-zero processes."""
+        import pickle
+
+        if jax.process_count() == 1:
+            return det_annos
+        from jax.experimental import multihost_utils
+        tmpdir = self.output_dir / 'eval_tmp'
+        tmpdir.mkdir(parents=True, exist_ok=True)
+        with open(tmpdir / f'part_{jax.process_index()}.pkl', 'wb') as f:
+            pickle.dump(det_annos, f)
+        multihost_utils.sync_global_devices('eval_merge_write')
+        if jax.process_index() != 0:
+            return None
+        parts = []
+        for i in range(jax.process_count()):
+            with open(tmpdir / f'part_{i}.pkl', 'rb') as f:
+                parts.append(pickle.load(f))
+        # ShardedSampler hands shard i the indices i, i+P, i+2P, ...:
+        # round-robin interleave restores sequential dataset order
+        merged = []
+        for group in zip(*parts):
+            merged.extend(group)
+        longest = max(len(p) for p in parts)
+        for k in range(min(len(p) for p in parts), longest):
+            for p in parts:
+                if k < len(p):
+                    merged.append(p[k])
+        return merged
+
     def evaluate(self, dataset, eval_loader, state, class_names,
                  save_to_file=False, result_dir=None):
         """Full-dataset eval: inference -> det annos -> dataset.evaluation
-        (parity: ``eval_utils.eval_one_epoch``)."""
+        (parity: ``eval_utils.eval_one_epoch``). Multi-process runs merge
+        det annos across processes and return (None, '', {}) on non-zero
+        processes."""
         det_annos = []
         recall_dict = {}
         thresh_list = list(self.cfg.MODEL.POST_PROCESSING.RECALL_THRESH_LIST)
@@ -286,6 +336,10 @@ class Trainer:
         sec_per_example = (time.time() - t0) / max(n_frames, 1)
         if self.logger:
             self.logger.info('eval: %.4f sec/example', sec_per_example)
+        det_annos = self._merge_results_multiprocess(det_annos)
+        if det_annos is None:
+            return None, '', {}
+        det_annos = self._dedup_by_frame_id(det_annos)
         result_str, result_dict = dataset.evaluation(det_annos, class_names)
         gt = max(recall_dict.pop('gt', 0), 1)
         for k, v in recall_dict.items():

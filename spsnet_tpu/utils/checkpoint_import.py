@@ -163,18 +163,21 @@ def _put_layer(put, params, stats, base, kind, k, leaf, t):
 
 
 def _put_head_layer(put, params, stats, base, kind, k, leaf, t):
-    """MLPHead layout: SharedMLP_{k}/(Dense_0, BatchNorm_0) + final Dense_0."""
+    """MLPHead layout: ONE SharedMLP_0 holding Dense_{k}/BatchNorm_{k} per
+    hidden layer, then the final biased Dense_0 at the top level (matches
+    blocks.MLPHead; verified against the reference's own IASSD state dict —
+    multi-layer CLS_FC/REG_FC stacks land in the same SharedMLP)."""
     if kind == 'final':
         if leaf == 'weight':
             put(params, base + ['Dense_0', 'kernel'], _dense_kernel(t))
         else:
             put(params, base + ['Dense_0', 'bias'], t)
     elif kind == 'dense':
-        put(params, base + [f'SharedMLP_{k}', 'Dense_0', 'kernel'],
+        put(params, base + ['SharedMLP_0', f'Dense_{k}', 'kernel'],
             _dense_kernel(t))
     elif kind == 'bn':
-        _put_layer(put, params, stats, base + [f'SharedMLP_{k}'],
-                   'bn', 0, leaf, t)
+        _put_layer(put, params, stats, base + ['SharedMLP_0'],
+                   'bn', k, leaf, t)
     else:
         raise ImportError3D(kind)
 

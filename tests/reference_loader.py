@@ -90,6 +90,86 @@ def load_reference_pcdet():
     return sys.modules['pcdet']
 
 
+def build_reference_iassd(model_cfg, class_names=('Car', 'Pedestrian',
+                                                  'Cyclist')):
+    """Instantiate the reference's OWN IASSD torch model (CPU, random init)
+    so checkpoint-importer tests consume the actual state-dict layout, not a
+    synthetic approximation (round-1 verdict item 9).
+
+    The detector registry __init__ chains pull spconv/kornia/CUDA exts, so
+    parent packages are stubbed with real __path__ and only the needed
+    submodules load for real.
+    """
+    load_reference_pcdet()
+    _stub('pcdet.ops.pointnet2.pointnet2_batch.pointnet2_batch_cuda')
+    _stub('pcdet.ops.pointnet2.pointnet2_stack.pointnet2_stack_cuda')
+
+    class _SparseConvolution:  # only isinstance-checked
+        pass
+
+    def _unavailable(*a, **k):
+        raise RuntimeError('stub: not available on CPU')
+
+    conv = _stub('spconv.conv', SparseConvolution=_SparseConvolution)
+    _stub('spconv.pytorch', conv=conv,
+          SparseSequential=_unavailable, SubMConv3d=_unavailable,
+          SparseConv3d=_unavailable, SparseInverseConv3d=_unavailable,
+          SparseModule=type('SparseModule', (), {}),
+          SparseConvTensor=_unavailable)
+    _stub('spconv', conv=conv, pytorch=sys.modules['spconv.pytorch'],
+          SparseSequential=_unavailable, SubMConv3d=_unavailable,
+          SparseConv3d=_unavailable, SparseInverseConv3d=_unavailable,
+          SparseModule=type('SparseModule', (), {}),
+          SparseConvTensor=_unavailable)
+    _stub('torch_scatter', scatter_max=_unavailable, scatter_mean=_unavailable,
+          scatter_add=_unavailable, scatter=_unavailable)
+    _stub('kornia')
+    # the stability package the reference expects at repo root under a
+    # different name (SURVEY.md §2.5 naming caveat)
+    _stub('surface_uncertainty')
+    _stub('surface_uncertainty.model',
+          Generate_center=type('Generate_center', (), {}))
+
+    # 'pcdet.models' and '...detectors' get bare __path__ stubs so their
+    # __init__ chains (which pull the full zoo incl. CUDA-only deps) never
+    # execute; every other subpackage imports for real on top of the leaf
+    # stubs above.
+    for pkg, path in [
+        ('pcdet.models', f'{REFERENCE_ROOT}/pcdet/models'),
+        ('pcdet.models.detectors', f'{REFERENCE_ROOT}/pcdet/models/detectors'),
+        ('pcdet.ops.pointnet2', f'{REFERENCE_ROOT}/pcdet/ops/pointnet2'),
+        ('pcdet.ops.pointnet2.pointnet2_batch',
+         f'{REFERENCE_ROOT}/pcdet/ops/pointnet2/pointnet2_batch'),
+        ('pcdet.ops.pointnet2.pointnet2_stack',
+         f'{REFERENCE_ROOT}/pcdet/ops/pointnet2/pointnet2_stack'),
+    ]:
+        mod = _stub(pkg)
+        mod.__path__ = [path]
+
+    import importlib
+
+    import numpy as np
+    iassd_mod = importlib.import_module('pcdet.models.detectors.IASSD')
+
+    names = list(class_names)
+
+    class _FakeEncoder:
+        num_point_features = 4
+
+    class _FakeDataset:
+        class_names = names
+        point_feature_encoder = _FakeEncoder()
+        grid_size = np.array([1408, 1600, 40])
+        point_cloud_range = np.array([0, -40, -3, 70.4, 40, 1],
+                                     dtype=np.float32)
+        voxel_size = [0.05, 0.05, 0.1]
+        depth_downsample_factor = None
+
+    return iassd_mod.IASSD(model_cfg=model_cfg,
+                           num_class=len(class_names),
+                           dataset=_FakeDataset())
+
+
 def load_reference_file(rel_path, name):
     """Load a single reference source file as a standalone module, bypassing
     package ``__init__`` chains that pull in CUDA/spconv deps (e.g.

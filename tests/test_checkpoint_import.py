@@ -250,3 +250,33 @@ def test_cli_roundtrip(tmp_path, imported):
     assert r.returncode == 0
     assert 'imported' in r.stdout
     assert (out_dir.exists() and any(out_dir.iterdir()))
+
+
+@pytest.mark.slow
+def test_import_reference_model_state_dict():
+    """Round-1 verdict item 9: consume a state dict generated by the
+    reference's OWN ``IASSD`` model class (full-size KITTI IA-SSD.yaml,
+    random init) — the exact key names and shapes users will feed the
+    importer — and merge it into our full-size model strict-shape."""
+    import jax
+    from tests.reference_loader import build_reference_iassd
+    from spsnet_tpu.config import EDict, cfg_from_yaml_file
+    from spsnet_tpu.models import build_detector
+
+    cfg = EDict()
+    cfg_from_yaml_file('/root/repo/tools/cfgs/kitti_models/IA-SSD.yaml', cfg)
+    ref_model = build_reference_iassd(cfg.MODEL)
+    state = ref_model.state_dict()
+    assert len(state) > 200
+
+    params, stats, report = ci.convert_reference_state_dict(state)
+
+    model = build_detector(cfg.MODEL, num_class=len(cfg.CLASS_NAMES))
+    pts = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 40, (1, 2048, 4)).astype(np.float32))
+    variables = jax.jit(model.init, static_argnames='train')(
+        jax.random.PRNGKey(0), {'points': pts}, train=False)
+    merged = ci.merge_into_variables(variables, params, stats,
+                                     strict_shapes=True)
+    out = model.apply(merged, {'points': pts}, train=False)
+    assert np.isfinite(np.asarray(out['batch_box_preds'])).all()
