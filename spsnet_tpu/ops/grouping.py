@@ -21,7 +21,10 @@ import jax.numpy as jnp
 
 from .sampling import calc_square_dist
 
-_BIG = jnp.int32(2 ** 30)
+# plain python int: a module-scope jnp constant would initialize a JAX
+# backend at import time, before callers (driver entry points, CLIs) can pin
+# the platform — the round-1 multichip gate failed exactly this way.
+_BIG = 2 ** 30
 
 
 def _query_d2(ctr, xyz):

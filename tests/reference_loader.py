@@ -38,10 +38,21 @@ def load_reference_pcdet():
     torch.Tensor.cuda = lambda self, *a, **k: self  # noqa: E731
     torch.nn.Module.cuda = lambda self, *a, **k: self  # noqa: E731
 
-    _stub('SharedArray')
-    _stub('numba', jit=lambda *a, **k: (lambda f: f),
-          njit=lambda *a, **k: (lambda f: f))
-    _stub('numba.cuda')
+    # Stub only deps that are genuinely absent: sys.modules entries are
+    # process-global, and a raising fake for an INSTALLED package (scipy is
+    # real here, and spsnet_tpu's pyramid augs / gt_dataset use
+    # scipy.spatial.Delaunay) breaks every later test in the session.
+    def _stub_if_missing(name, **attrs):
+        try:
+            __import__(name)
+            return sys.modules[name]
+        except ImportError:
+            return _stub(name, **attrs)
+
+    _stub_if_missing('SharedArray')
+    _stub_if_missing('numba', jit=lambda *a, **k: (lambda f: f),
+                     njit=lambda *a, **k: (lambda f: f))
+    _stub_if_missing('numba.cuda')
 
     class _FakeDelaunay:  # box_utils.in_hull dependency; not under test
         def __init__(self, *a, **k):
@@ -51,9 +62,12 @@ def load_reference_pcdet():
         def __init__(self, *a, **k):
             raise RuntimeError('scipy.spatial.ConvexHull stub')
 
-    spatial = _stub('scipy.spatial', Delaunay=_FakeDelaunay,
-                    ConvexHull=_FakeConvexHull)
-    _stub('scipy', spatial=spatial)
+    try:
+        import scipy.spatial  # noqa: F401
+    except ImportError:
+        spatial = _stub('scipy.spatial', Delaunay=_FakeDelaunay,
+                        ConvexHull=_FakeConvexHull)
+        _stub('scipy', spatial=spatial)
 
     # compiled CUDA extensions: register module placeholders so
     # `from ..ops.iou3d_nms.iou3d_nms_utils import boxes_iou3d_gpu` binds

@@ -169,3 +169,66 @@ def test_dynamic_pillar_vfe_end2end():
                          mutable=['batch_stats'])
     loss, tb = model.apply(variables, out, method=model.loss)
     assert np.isfinite(float(loss))
+
+
+@pytest.mark.slow
+def test_pointpillar_overfit(tmp_path):
+    """Learning-dynamics proof for the anchor family: train tiny PointPillars
+    on ONE fixed synthetic batch until it memorises it — loss must collapse
+    and recall vs gt must become high. Unlike IA-SSD (whose ctr_aware
+    sampling is a feedback loop, see test_kitti_end2end), anchor matching is
+    purely geometric, so this family converges stably."""
+    from spsnet_tpu.config import EDict as _E
+    from spsnet_tpu.models.detectors.detector3d import (
+        generate_recall_record_batch, post_processing)
+    from spsnet_tpu.parallel.mesh import make_mesh, shard_batch
+    from spsnet_tpu.runtime.trainer import Trainer, device_batch
+    from spsnet_tpu.zoo import tiny_optimization_cfg
+
+    rng = np.random.default_rng(0)
+    model_cfg = tiny_pointpillar_cfg()
+    opt = tiny_optimization_cfg()
+    opt.NUM_EPOCHS = 300
+    opt.BATCH_SIZE_PER_GPU = 8
+    opt.OPTIMIZER = 'adam'
+    opt.LR = 0.003
+    opt.DECAY_STEP_LIST = [10000]
+    cfg = _E({'CLASS_NAMES': ['Car', 'Pedestrian', 'Cyclist'],
+              'MODEL': model_cfg, 'OPTIMIZATION': opt})
+    model = build_detector(cfg.MODEL, num_class=3, voxel_size=tuple(VOXEL),
+                           point_cloud_range=tuple(PCR))
+    mesh = make_mesh()
+    trainer = Trainer(cfg, model, tmp_path, total_iters_each_epoch=1,
+                      mesh=mesh)
+    batch = {k: np.asarray(v) for k, v in make_batch(rng, B=8).items()}
+    state = trainer.init_state(batch)
+    db = shard_batch(device_batch(batch), mesh)
+
+    losses = []
+    for _ in range(300):
+        state, metrics = trainer.train_step(state, db)
+        losses.append(float(metrics['loss']))
+    start = float(np.mean(losses[:10]))
+    end = float(np.mean(losses[-10:]))
+    assert np.isfinite(end)
+    assert end < 0.1 * start, (start, end)
+
+    # Recall of the memorised batch through the real NMS path. The forward
+    # runs in train mode (batch-stat normalisation, mutated stats discarded):
+    # memorisation collapses the pre-BN activation variance ~2000x in 300
+    # steps, and the running-stat EMA (momentum 0.99 == the reference's
+    # torch momentum 0.01 in pillar_vfe/base_bev_backbone) genuinely lags
+    # that collapse — in BOTH frameworks. Batch-stat normalisation tests the
+    # detection machinery, not the EMA's settling time.
+    params = {'params': state.params}
+    if state.batch_stats:
+        params['batch_stats'] = state.batch_stats
+    out, _ = model.apply(params, {k: jnp.asarray(v) for k, v in batch.items()},
+                         train=True, mutable=['batch_stats'])
+    dets = post_processing(out, model_cfg.POST_PROCESSING)
+    rec = jax.device_get(generate_recall_record_batch(
+        dets['boxes'], dets['count'], jnp.asarray(batch['gt_boxes']),
+        thresh_list=(0.3, 0.5, 0.7)))
+    gt = max(int(rec['gt']), 1)
+    assert rec['rcnn_0.3'] / gt >= 0.9, dict(rec)
+    assert rec['rcnn_0.7'] / gt >= 0.7, dict(rec)
