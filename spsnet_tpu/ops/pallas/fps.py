@@ -236,6 +236,111 @@ def _fps_kernel_unrolled_b(nvalid_ref, x_ref, y_ref, z_ref, out_ref,
     jax.lax.fori_loop(1, out_ref.shape[1] * _LANE, step, seed, unroll=False)
 
 
+def _fps_kernel_unrolled_b_v2(nvalid_ref, x_ref, y_ref, z_ref, out_ref,
+                              dist_ref, *, no_padding=False):
+    """Hierarchical-argmax variant of ``_fps_kernel_unrolled_b``
+    (EXPERIMENTAL, not dispatched — measured SLOWER).
+
+    Hypothesis: the baseline step runs TWO full (R, 128) reduction passes
+    back-to-back (global max, then eq + min-index); replacing them with one
+    lane-reduce to per-row maxima (R, 1), tiny (R, 1) reduces, and a single
+    dynamically-sliced (1, 128) row should shorten the serial chain.
+    Outcome on v5e (B=8, 16384->4096): 16.2 ms vs 14.9 ms baseline, outputs
+    bit-identical. The (R, 1) single-lane layouts reduce over sublanes at
+    1/128th VPU width and the extra dynamic slice adds serial hops — the
+    step is bound by the cross-step coords->d2->reduce->select dependency
+    LATENCY, not by reduction work, so removing a full pass buys nothing.
+    Kept for reference next to the other negative results in this file.
+    Same semantics incl. the lowest-flat-index tie-break (min row first,
+    then min lane within it, row-major flat ids).
+    """
+    n_valid = nvalid_ref[0]
+    B = x_ref.shape[0]
+    R = x_ref.shape[1]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, _LANE), 0)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (R, _LANE), 1)
+    flat_ids = row_ids * _LANE + lane_ids
+    valid = flat_ids < n_valid
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+    rid_col = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+
+    def mask_pad(d2):
+        return d2 if no_padding else jnp.where(valid, d2, -1.0)
+
+    for b in range(B):
+        dist_ref[b] = jnp.full((R, _LANE), _BIG_F) if no_padding \
+            else jnp.where(valid, _BIG_F, -1.0)
+
+    def write(b, j, val):
+        r = j // _LANE
+        c = j % _LANE
+        row = out_ref[b, pl.ds(r, 1), :]
+        out_ref[b, pl.ds(r, 1), :] = jnp.where(lane_row == c, val, row)
+
+    for b in range(B):
+        write(b, 0, jnp.int32(0))
+
+    def step(j, carry):
+        out = []
+        for b in range(B):
+            x1, y1, z1 = carry[b]
+            x = x_ref[b]
+            y = y_ref[b]
+            z = z_ref[b]
+            d2 = (x - x1) ** 2 + (y - y1) ** 2 + (z - z1) ** 2
+            nd = jnp.minimum(dist_ref[b], mask_pad(d2))
+            dist_ref[b] = nd
+            rowmax = jnp.max(nd, axis=1, keepdims=True)          # (R, 1)
+            m = jnp.max(rowmax, axis=0, keepdims=True)[0, 0]     # scalar
+            r_star = jnp.min(jnp.where(rowmax == m, rid_col,
+                                       jnp.int32(_BIG_I)),
+                             axis=0, keepdims=True)[0, 0]
+            win = dist_ref[b, pl.ds(r_star, 1), :]               # (1, 128)
+            c_star = jnp.min(jnp.where(win == m, lane_row,
+                                       jnp.int32(_BIG_I)))
+            nxt = r_star * _LANE + c_star
+            write(b, j, nxt)
+            lane_sel = lane_row == c_star
+            out.append((
+                jnp.sum(jnp.where(lane_sel, x_ref[b, pl.ds(r_star, 1), :], 0.0)),
+                jnp.sum(jnp.where(lane_sel, y_ref[b, pl.ds(r_star, 1), :], 0.0)),
+                jnp.sum(jnp.where(lane_sel, z_ref[b, pl.ds(r_star, 1), :], 0.0))))
+        return tuple(out)
+
+    seed = tuple((x_ref[b, 0, 0], y_ref[b, 0, 0], z_ref[b, 0, 0])
+                 for b in range(B))
+    jax.lax.fori_loop(1, out_ref.shape[1] * _LANE, step, seed, unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=('npoint', 'interpret'))
+def _fps_pallas_allbatch_v2(xyz, npoint: int, interpret: bool = False):
+    """One-program dispatch of ``_fps_kernel_unrolled_b_v2``."""
+    B, N, _ = xyz.shape
+    pad = (-N) % _LANE
+    R = (N + pad) // _LANE
+    xyz_p = jnp.pad(xyz, ((0, 0), (0, pad), (0, 0)))
+    planes = [xyz_p[..., i].reshape(B, R, _LANE) for i in range(3)]
+    n_valid = jnp.full((1,), N, dtype=jnp.int32)
+    Mr = -(-npoint // _LANE)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec((B, R, _LANE), lambda g, nv: (0, 0, 0),
+                               memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec((B, Mr, _LANE), lambda g, nv: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((B, R, _LANE), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fps_kernel_unrolled_b_v2, no_padding=(pad == 0)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Mr, _LANE), jnp.int32),
+        interpret=interpret,
+    )(n_valid, *planes)
+    return out.reshape(B, Mr * _LANE)[:, :npoint]
+
+
 @functools.partial(jax.jit, static_argnames=('npoint', 'interpret'))
 def _fps_pallas_allbatch(xyz, npoint: int, interpret: bool = False):
     """One-program dispatch of ``_fps_kernel_unrolled_b``."""
