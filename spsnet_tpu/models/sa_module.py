@@ -117,32 +117,44 @@ class SAModuleMSGWithSampling(nn.Module):
             new_xyz = ctr_xyz
 
         if len(self.radii) > 0:
-            # one shared distance computation for all MSG scales
-            multi_idx = None
-            if not self.dilated_group:
-                from ..ops.grouping import ball_query_multi
-                multi_idx = ball_query_multi(
-                    tuple(self.radii), tuple(self.nsamples), xyz, new_xyz)
+            from ..ops.grouping import (masked_pool, msg_shared_enabled,
+                                        msg_shared_group)
+            if self.pool_method not in ('max_pool', 'avg_pool'):
+                raise NotImplementedError(self.pool_method)
             scale_feats = []
-            for i, (radius, nsample, mlp) in enumerate(
-                    zip(self.radii, self.nsamples, self.mlps)):
-                if self.dilated_group:
-                    min_radius = 0.0 if i == 0 else self.radii[i - 1]
-                    grouped, _ = ops.query_and_group(
-                        radius, nsample, xyz, new_xyz, features,
-                        use_xyz=self.use_xyz, min_radius=min_radius)
-                else:
-                    grouped, _ = ops.query_and_group(
-                        radius, nsample, xyz, new_xyz, features,
-                        use_xyz=self.use_xyz, idx=multi_idx[i])
-                h = SharedMLP(mlp, name=f'mlp_{i}')(grouped, train=train)
-                if self.pool_method == 'max_pool':
-                    h = jnp.max(h, axis=2)
-                elif self.pool_method == 'avg_pool':
-                    h = jnp.mean(h, axis=2)
-                else:
-                    raise NotImplementedError(self.pool_method)
-                scale_feats.append(h)
+            if (self.pool_method == 'max_pool'
+                    and msg_shared_enabled(self.dilated_group,
+                                           len(self.radii))):
+                # ONE ball query + ONE neighbor gather for every scale
+                # (gather cost is per row on TPU); smaller scales become
+                # radius masks at the pool — see ops.msg_shared_group.
+                grouped, valids = msg_shared_group(
+                    tuple(self.radii), tuple(self.nsamples), xyz, new_xyz,
+                    features, use_xyz=self.use_xyz)
+                for i, mlp in enumerate(self.mlps):
+                    h = SharedMLP(mlp, name=f'mlp_{i}')(grouped, train=train)
+                    scale_feats.append(
+                        masked_pool(h, valids[i], self.pool_method))
+            else:
+                # one shared distance computation for all MSG scales
+                multi_idx = None
+                if not self.dilated_group:
+                    from ..ops.grouping import ball_query_multi
+                    multi_idx = ball_query_multi(
+                        tuple(self.radii), tuple(self.nsamples), xyz, new_xyz)
+                for i, (radius, nsample, mlp) in enumerate(
+                        zip(self.radii, self.nsamples, self.mlps)):
+                    if self.dilated_group:
+                        min_radius = 0.0 if i == 0 else self.radii[i - 1]
+                        grouped, _ = ops.query_and_group(
+                            radius, nsample, xyz, new_xyz, features,
+                            use_xyz=self.use_xyz, min_radius=min_radius)
+                    else:
+                        grouped, _ = ops.query_and_group(
+                            radius, nsample, xyz, new_xyz, features,
+                            use_xyz=self.use_xyz, idx=multi_idx[i])
+                    h = SharedMLP(mlp, name=f'mlp_{i}')(grouped, train=train)
+                    scale_feats.append(masked_pool(h, None, self.pool_method))
             new_features = jnp.concatenate(scale_feats, axis=-1)
             if self.aggregation_mlp:
                 new_features = SharedMLP(self.aggregation_mlp,

@@ -283,6 +283,95 @@ def query_and_group(radius, nsample, xyz, new_xyz, features=None, use_xyz=True,
     return grouped_xyz, idx
 
 
+_MSG_SHARED_OVERRIDE = None
+
+
+def set_msg_shared(enabled):
+    """Force the shared-gather MSG path on/off (None restores 'auto' =
+    TPU-with-approx only). Call ``jax.clear_caches()`` afterwards. Used by
+    tests (force-enable on CPU) and tools/validate_approx_topk.py."""
+    global _MSG_SHARED_OVERRIDE
+    _MSG_SHARED_OVERRIDE = enabled
+
+
+def msg_shared_enabled(dilated: bool, n_scales: int) -> bool:
+    """Whether the multi-scale grouping should share ONE gather across
+    scales (see ``msg_shared_group``)."""
+    if dilated or n_scales < 2:
+        return False
+    if _MSG_SHARED_OVERRIDE is not None:
+        return _MSG_SHARED_OVERRIDE
+    return jax.default_backend() == 'tpu' and _resolve_method('auto') == 'approx'
+
+
+def msg_shared_group(radii, nsamples, xyz, new_xyz, features=None,
+                     use_xyz=True):
+    """Multi-scale grouping with ONE ball query and ONE neighbor gather.
+
+    TPU fast path: the dynamic-gather cost is per ROW (~6 us / 1k rows on
+    v5e regardless of width), so gathering each MSG scale separately pays
+    for the same neighbors twice. Instead gather once at
+    ``(max(radii), max(nsamples))`` and reconstruct each smaller scale by
+    masking the gathered candidates with its own radius at the pool:
+
+    - the scale with the max radius keeps exact CUDA semantics (its first-k
+      hits are slots ``0..nsample`` of the shared gather — same hit set,
+      same scan order);
+    - a smaller-radius scale pools over *gathered candidates inside its
+      radius* (plus the nearest candidate as the empty-ball fallback)
+      instead of *its own first-k*. This changes WHICH in-radius points
+      participate — the same relaxation class as ``approx_max_k``
+      (max-pooled grouping is slot-insensitive), measured end-to-end by
+      ``tools/validate_approx_topk.py``.
+
+    Returns:
+        grouped: (B, M, Kmax, 3 + C) center-relative grouped tensor,
+        valids: per-scale list, each None (no mask needed: exact path) or
+            (B, M, Kmax) bool pool mask.
+    """
+    radii = tuple(radii)
+    nsamples = tuple(nsamples)
+    kmax = max(nsamples)
+    rmax = max(radii)
+    idx = ball_query(rmax, kmax, xyz, new_xyz)
+    grouped, _ = query_and_group(rmax, kmax, xyz, new_xyz, features,
+                                 use_xyz=True, idx=idx)
+    rel = grouped[..., :3]
+    d2g = jnp.sum(rel * rel, axis=-1)                     # (B, M, Kmax)
+    # nearest gathered candidate: always a valid pool member, so a scale
+    # whose radius catches no candidate still pools over one real point
+    # (the CUDA kernel pads empty balls with point 0 instead — documented
+    # deviation, reachable only for vote-center queries)
+    nearest = d2g == jnp.min(d2g, axis=-1, keepdims=True)
+    slot = jnp.arange(kmax, dtype=jnp.int32)
+    valids = []
+    for r, ns in zip(radii, nsamples):
+        if r == rmax:
+            # same hit set and scan order as a direct (r, ns) query:
+            # keep the first ns slots (== CUDA first-k), pad slots of the
+            # shared gather replicate the first hit -> harmless under max
+            valids.append(None if ns == kmax else jnp.broadcast_to(
+                (slot < ns)[None, None, :], d2g.shape))
+        else:
+            valids.append((d2g < r * r) | nearest)
+    if not use_xyz:
+        grouped = grouped[..., 3:]
+    return grouped, valids
+
+
+def masked_pool(h, valid, method='max_pool'):
+    """Pool (B, M, S, C) over S with an optional (B, M, S) validity mask."""
+    if valid is None:
+        if method == 'max_pool':
+            return jnp.max(h, axis=2)
+        return jnp.mean(h, axis=2)
+    v = valid[..., None]
+    if method == 'max_pool':
+        return jnp.max(jnp.where(v, h, -jnp.inf), axis=2)
+    cnt = jnp.maximum(jnp.sum(v, axis=2), 1)
+    return jnp.sum(jnp.where(v, h, 0.0), axis=2) / cnt
+
+
 def group_all(xyz, features=None, use_xyz=True):
     """``GroupAll`` equivalent: one group containing every point."""
     grouped_xyz = xyz[:, None, :, :]

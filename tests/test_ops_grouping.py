@@ -70,3 +70,48 @@ def test_query_and_group_relative_coords():
     np.testing.assert_allclose(
         grouped[0, :, :, :3], xyz[0][idx[0]] - new_xyz[0][:, None], atol=1e-6)
     np.testing.assert_array_equal(grouped[0, :, :, 3:], feats[0][idx[0]])
+
+
+def test_msg_shared_group_matches_per_scale_on_sparse_scene():
+    """Shared-gather MSG == per-scale MSG when every ball is under-full.
+
+    With <= nsample hits per ball at every scale, the reference first-k
+    keeps ALL in-radius points, and the shared path's radius mask selects
+    exactly the same set (the nearest-candidate fallback is the center
+    itself, already in-radius) -> pooled outputs must match bitwise.
+    """
+    import jax
+    import flax.linen as nn
+    from spsnet_tpu.ops import grouping
+    from spsnet_tpu.models.sa_module import SAModuleMSGWithSampling
+
+    rng = np.random.default_rng(7)
+    # sparse: 96 points in a 40m box -> every 1.6m ball is under-full
+    pts = rng.uniform(-20, 20, size=(2, 96, 3)).astype(np.float32)
+    feats = rng.normal(size=(2, 96, 5)).astype(np.float32)
+
+    mod = SAModuleMSGWithSampling(
+        npoint_list=[32], sample_range_list=[-1], sample_type_list=['D-FPS'],
+        radii=[0.8, 1.6], nsamples=[8, 16], mlps=[[8, 16], [8, 16]],
+        num_class=3, aggregation_mlp=[16], confidence_mlp=None)
+
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(pts),
+                         jnp.asarray(feats), train=False)
+
+    def run():
+        out = mod.apply(variables, jnp.asarray(pts), jnp.asarray(feats),
+                        train=False)
+        return np.asarray(out[1])
+
+    try:
+        grouping.set_msg_shared(False)
+        jax.clear_caches()
+        want = run()
+        grouping.set_msg_shared(True)
+        jax.clear_caches()
+        got = run()
+    finally:
+        grouping.set_msg_shared(None)
+        jax.clear_caches()
+
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
