@@ -30,6 +30,11 @@ _BIG = 2 ** 30
 def _query_d2(ctr, xyz):
     """Squared center-to-point distances (B, chunk, N).
 
+    NON-DIFFERENTIABLE BY DESIGN: every caller reduces this to integer
+    neighbor indices (the CUDA ball-query has no grad either), so inputs
+    are stop_gradient'ed here. This also keeps reverse-mode away from the
+    Pallas kernel, which defines no VJP.
+
     CPU: direct (a-b)^2 fp32 — bit-matches the CUDA kernel's boundary
     arithmetic (the parity tests' spec).
     TPU: |a|^2+|b|^2-2ab with Precision.HIGHEST — the cross term rides the
@@ -44,6 +49,8 @@ def _query_d2(ctr, xyz):
     measured again in isolation it compiles in ~15 s — the blowup came from
     a different surrounding fusion, not the 6-pass expansion itself.
     """
+    ctr = jax.lax.stop_gradient(ctr)
+    xyz = jax.lax.stop_gradient(xyz)
     if jax.default_backend() == 'tpu':
         # Pallas tiled diff-form kernel (ops/pallas/d2.py): exact fp32
         # arithmetic (no MXU rounding band) and 2x the conv-emitter XLA

@@ -50,6 +50,9 @@ def farthest_point_sample(xyz, npoint: int, valid_mask=None):
     (``ops/pallas/fps.py``) — ~7x faster than the XLA loop at IA-SSD sizes
     (12 ms vs 83 ms for B=4, 16384->4096 on v5e) with identical outputs.
     """
+    # integer-index output: no grad by semantics (like the CUDA kernel),
+    # and the Pallas kernel defines no VJP — cut reverse-mode off here
+    xyz = jax.lax.stop_gradient(xyz)
     if valid_mask is None and jax.default_backend() == 'tpu':
         from .pallas.fps import farthest_point_sample_pallas
         return farthest_point_sample_pallas(xyz, npoint)

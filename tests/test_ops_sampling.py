@@ -48,3 +48,34 @@ def test_calc_square_dist():
     got = np.asarray(ops.calc_square_dist(jnp.asarray(a), jnp.asarray(b)))
     want = ((a[:, :, None] - b[:, None]) ** 2).sum(-1)
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_index_ops_are_gradient_opaque():
+    """FPS and ball query must CUT reverse-mode at their inputs.
+
+    Their outputs are integer indices (the CUDA kernels define no grad),
+    and on TPU the inputs feed Pallas kernels with no VJP — train broke
+    the first time a param-dependent query center (SA layer 6 groups
+    around predicted vote centers) reached one. Gradient w.r.t. coords
+    must flow ONLY through the downstream gather/relative-coord math,
+    never through the index selection itself.
+    """
+    import jax
+    import jax.numpy as jnp
+    from spsnet_tpu import ops
+
+    rng = np.random.default_rng(3)
+    xyz = jnp.asarray(rng.uniform(-5, 5, size=(2, 64, 3)), jnp.float32)
+
+    def fps_loss(x):
+        idx = ops.farthest_point_sample(x, 16)
+        return jnp.sum(idx.astype(jnp.float32))
+
+    def bq_loss(c):
+        idx = ops.ball_query(2.0, 8, xyz, c)
+        return jnp.sum(idx.astype(jnp.float32))
+
+    # linearization must succeed AND produce exactly-zero cotangents
+    np.testing.assert_array_equal(np.asarray(jax.grad(fps_loss)(xyz)), 0.0)
+    centers = xyz[:, :16] * 1.0
+    np.testing.assert_array_equal(np.asarray(jax.grad(bq_loss)(centers)), 0.0)
