@@ -58,6 +58,10 @@ def main():
     parser.add_argument('--ckpt', type=str, default=None)
     parser.add_argument('--render', type=str, default=None,
                         help='output PNG path for a BEV render')
+    parser.add_argument('--html', type=str, default=None,
+                        help='output path for an interactive 3D HTML viewer '
+                             '(open in any browser; replaces the reference '
+                             'open3d window on headless hosts)')
     args = parser.parse_args()
 
     setup_jax()
@@ -92,6 +96,11 @@ def main():
         print(f'  {cfg.CLASS_NAMES[l - 1]:12s} score={s:.3f} box={b.round(2)}')
     if args.render:
         render_bev(points, boxes, scores, labels, args.render)
+    if args.html:
+        from spsnet_tpu.utils.web_vis import draw_scenes
+        draw_scenes(args.html, points, ref_boxes=boxes, ref_scores=scores,
+                    ref_labels=labels, class_names=list(cfg.CLASS_NAMES))
+        print(f'saved {args.html}')
 
 
 if __name__ == '__main__':
