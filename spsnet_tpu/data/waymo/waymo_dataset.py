@@ -27,6 +27,19 @@ class WaymoDataset(DatasetTemplate):
         self._load_split()
         self.infos = []
         self.include_waymo_data(self.mode)
+        # node-local point-cloud cache in shared memory (parity:
+        # waymo_dataset.py:34-37,77-120 — the reference uses SharedArray;
+        # here each frame's npy is copied once into /dev/shm and then
+        # mmap-read by every dataloader worker, same effect without the dep)
+        self.use_shared_memory = bool(
+            dataset_cfg.get('USE_SHARED_MEMORY', False)) and self.training
+        self.shared_memory_file_limit = int(
+            dataset_cfg.get('SHARED_MEMORY_FILE_LIMIT', 0x7FFFFFFF))
+        self._shm_dir = Path(
+            dataset_cfg.get('SHARED_MEMORY_DIR', '/dev/shm')) / \
+            f'spsnet_tpu_waymo_{self.split}'
+        if self.use_shared_memory:
+            self._shm_dir.mkdir(parents=True, exist_ok=True)
 
     def _load_split(self):
         split_file = self.root_path / 'ImageSets' / (self.split + '.txt')
@@ -57,8 +70,37 @@ class WaymoDataset(DatasetTemplate):
             self.logger.info('Total samples for Waymo dataset: %d',
                              len(self.infos))
 
+    def _shm_path(self, sequence_name, sample_idx):
+        return self._shm_dir / f'{sequence_name}_{sample_idx:04d}.npy'
+
+    def clean_shared_memory(self):
+        """Remove this split's cached frames (parity:
+        ``waymo_dataset.py clean_shared_memory``). Call once per node after
+        training; caches are keyed by split so concurrent jobs on different
+        splits do not collide."""
+        if self._shm_dir.exists():
+            for f in self._shm_dir.glob('*.npy'):
+                f.unlink(missing_ok=True)
+            try:
+                self._shm_dir.rmdir()
+            except OSError:
+                pass
+
     def get_lidar(self, sequence_name, sample_idx):
         lidar_file = self.data_path / sequence_name / f'{sample_idx:04d}.npy'
+        if self.use_shared_memory:
+            shm = self._shm_path(sequence_name, sample_idx)
+            if shm.exists():
+                lidar_file = shm
+            elif len(list(self._shm_dir.glob('*.npy'))) < \
+                    self.shared_memory_file_limit:
+                # one worker wins the copy race; the atomic rename means
+                # readers never see a partial file
+                import os
+                tmp = shm.with_suffix(f'.tmp{os.getpid()}')
+                tmp.write_bytes(Path(lidar_file).read_bytes())
+                tmp.rename(shm)
+                lidar_file = shm
         point_features = np.load(lidar_file)  # (N, 7) [x,y,z,int,elong,nlz,?]
         points_all = point_features[:, 0:5]
         nlz_flag = point_features[:, 5]

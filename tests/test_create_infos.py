@@ -169,3 +169,31 @@ def test_create_infos_cli_choices():
     assert r.returncode == 0
     for name in ('kitti', 'waymo', 'nuscenes'):
         assert name in r.stdout
+
+
+def test_waymo_shared_memory_cache(tmp_path):
+    """USE_SHARED_MEMORY copies each frame npy into the shm dir once
+    (bounded by SHARED_MEMORY_FILE_LIMIT) and serves identical points
+    from it; clean_shared_memory removes the split's cache."""
+    from spsnet_tpu.data.waymo.waymo_dataset import WaymoDataset
+    root = make_waymo_root(tmp_path, n_frames=4)
+    cfg = waymo_cfg()
+    cfg['USE_SHARED_MEMORY'] = True
+    cfg['SHARED_MEMORY_FILE_LIMIT'] = 2
+    cfg['SHARED_MEMORY_DIR'] = str(tmp_path / 'shm')
+
+    ds = WaymoDataset(dataset_cfg=cfg, class_names=['Vehicle'],
+                      training=True, root_path=root)
+    plain = WaymoDataset(dataset_cfg=waymo_cfg(), class_names=['Vehicle'],
+                         training=True, root_path=root)
+    frame0 = plain.get_lidar('seq0', 0)
+    for i in range(4):
+        np.testing.assert_array_equal(ds.get_lidar('seq0', i),
+                                      plain.get_lidar('seq0', i))
+    cached = sorted(p.name for p in ds._shm_dir.glob('*.npy'))
+    assert len(cached) == 2  # limit respected
+    # cached frames serve from shm even after the source disappears
+    (root / 'waymo_processed_data' / 'seq0' / '0000.npy').unlink()
+    np.testing.assert_array_equal(ds.get_lidar('seq0', 0), frame0)
+    ds.clean_shared_memory()
+    assert not ds._shm_dir.exists()
