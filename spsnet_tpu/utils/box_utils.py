@@ -29,6 +29,20 @@ def boxes_to_corners_3d(boxes3d):
     return corners + boxes3d[:, None, 0:3]
 
 
+def boxes_to_corners_3d_np(boxes3d):
+    """Pure-numpy twin of :func:`boxes_to_corners_3d` for the host-side data
+    pipeline — the loader must never dispatch to the device (a per-frame jnp
+    call costs a device round-trip and a per-shape recompile)."""
+    boxes3d = np.asarray(boxes3d, dtype=np.float32)
+    corners = boxes3d[:, None, 3:6] * _CORNER_TEMPLATE[None, :, :]
+    cosa = np.cos(boxes3d[:, 6])[:, None]
+    sina = np.sin(boxes3d[:, 6])[:, None]
+    x = corners[..., 0] * cosa - corners[..., 1] * sina
+    y = corners[..., 0] * sina + corners[..., 1] * cosa
+    corners = np.stack([x, y, corners[..., 2]], axis=-1)
+    return corners + boxes3d[:, None, 0:3]
+
+
 def enlarge_box3d(boxes3d, extra_width=(0.0, 0.0, 0.0)):
     """Add ``extra_width`` to (dx, dy, dz); other fields pass through."""
     extra = jnp.asarray(extra_width, dtype=boxes3d.dtype)
@@ -92,7 +106,7 @@ def mask_boxes_outside_range_numpy(boxes, limit_range, min_num_corners=1):
         geo = boxes[:, 0:7]
     else:
         geo = boxes
-    corners = np.asarray(boxes_to_corners_3d(jnp.asarray(geo, dtype=jnp.float32)))
+    corners = boxes_to_corners_3d_np(geo)
     mask = ((corners[:, :, 0] >= limit_range[0]) & (corners[:, :, 0] <= limit_range[3]) &
             (corners[:, :, 1] >= limit_range[1]) & (corners[:, :, 1] <= limit_range[4]))
     return mask.sum(axis=1) >= min_num_corners
