@@ -19,6 +19,11 @@ from ..dataset import DatasetTemplate
 class NuScenesDataset(DatasetTemplate):
     def __init__(self, dataset_cfg, class_names, training=True, root_path=None,
                  logger=None):
+        # The dataset lives under <DATA_PATH>/<VERSION> (reference
+        # ``nuscenes_dataset.py:85``): infos and lidar paths are relative to
+        # the versioned directory, matching where create_nuscenes_info writes.
+        root_path = (root_path if root_path is not None
+                     else Path(dataset_cfg.DATA_PATH)) / dataset_cfg.VERSION
         super().__init__(dataset_cfg=dataset_cfg, class_names=class_names,
                          training=training, root_path=root_path, logger=logger)
         self.infos = []

@@ -200,6 +200,7 @@ def create_nuscenes_info(version, data_path, save_path, max_sweeps=10):
 
     data_path = Path(data_path) / version
     save_path = Path(save_path) / version
+    save_path.mkdir(parents=True, exist_ok=True)
     assert version in ['v1.0-trainval', 'v1.0-test', 'v1.0-mini']
     if version == 'v1.0-trainval':
         train_scenes, val_scenes = splits.train, splits.val

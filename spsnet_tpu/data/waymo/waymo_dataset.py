@@ -35,9 +35,15 @@ class WaymoDataset(DatasetTemplate):
             dataset_cfg.get('USE_SHARED_MEMORY', False)) and self.training
         self.shared_memory_file_limit = int(
             dataset_cfg.get('SHARED_MEMORY_FILE_LIMIT', 0x7FFFFFFF))
-        self._shm_dir = Path(
-            dataset_cfg.get('SHARED_MEMORY_DIR', '/dev/shm')) / \
-            f'spsnet_tpu_waymo_{self.split}'
+        self._shm_base = Path(dataset_cfg.get('SHARED_MEMORY_DIR', '/dev/shm'))
+        self._rekey_shm()
+
+    def _rekey_shm(self):
+        self._shm_dir = self._shm_base / f'spsnet_tpu_waymo_{self.split}'
+        # lazily-initialized cached-file count: None until the first miss,
+        # then maintained in-process so the hot loader path never re-lists
+        # the (potentially 30k-entry) cache directory per frame
+        self._shm_count = None
         if self.use_shared_memory:
             self._shm_dir.mkdir(parents=True, exist_ok=True)
 
@@ -49,10 +55,13 @@ class WaymoDataset(DatasetTemplate):
 
     def set_split(self, split):
         """Re-point at another split without rebuilding the pipeline
-        (parity: ``waymo_dataset.py set_split``)."""
+        (parity: ``waymo_dataset.py set_split`` — which reloads the split's
+        infos). The shared-memory cache is re-keyed to the new split."""
         self.split = split
         self._load_split()
         self.infos = []
+        self.include_waymo_data(self.mode)
+        self._rekey_shm()
 
     def include_waymo_data(self, mode):
         infos = []
@@ -79,12 +88,14 @@ class WaymoDataset(DatasetTemplate):
         training; caches are keyed by split so concurrent jobs on different
         splits do not collide."""
         if self._shm_dir.exists():
-            for f in self._shm_dir.glob('*.npy'):
+            # '*' (not '*.npy') so crash-orphaned .tmp<pid> files go too
+            for f in self._shm_dir.glob('*'):
                 f.unlink(missing_ok=True)
             try:
                 self._shm_dir.rmdir()
             except OSError:
                 pass
+        self._shm_count = None
 
     def get_lidar(self, sequence_name, sample_idx):
         lidar_file = self.data_path / sequence_name / f'{sample_idx:04d}.npy'
@@ -92,15 +103,21 @@ class WaymoDataset(DatasetTemplate):
             shm = self._shm_path(sequence_name, sample_idx)
             if shm.exists():
                 lidar_file = shm
-            elif len(list(self._shm_dir.glob('*.npy'))) < \
-                    self.shared_memory_file_limit:
-                # one worker wins the copy race; the atomic rename means
-                # readers never see a partial file
-                import os
-                tmp = shm.with_suffix(f'.tmp{os.getpid()}')
-                tmp.write_bytes(Path(lidar_file).read_bytes())
-                tmp.rename(shm)
-                lidar_file = shm
+            else:
+                if self._shm_count is None:  # first miss: count once
+                    self._shm_count = sum(
+                        1 for _ in self._shm_dir.glob('*.npy'))
+                if self._shm_count < self.shared_memory_file_limit:
+                    # one worker wins the copy race; the atomic rename means
+                    # readers never see a partial file (the in-process count
+                    # is approximate across processes — the limit is a cache
+                    # size bound, not an exact quota)
+                    import os
+                    tmp = shm.with_suffix(f'.tmp{os.getpid()}')
+                    tmp.write_bytes(Path(lidar_file).read_bytes())
+                    tmp.rename(shm)
+                    self._shm_count += 1
+                    lidar_file = shm
         point_features = np.load(lidar_file)  # (N, 7) [x,y,z,int,elong,nlz,?]
         points_all = point_features[:, 0:5]
         nlz_flag = point_features[:, 5]
@@ -148,13 +165,14 @@ class WaymoDataset(DatasetTemplate):
         """Aggregate per-sequence infos for the current split (parity:
         ``waymo_dataset.py:137 get_infos``).
 
-        The reference decodes raw TFRecords via ``waymo_open_dataset`` (TF
-        range-image utils). That toolchain is gated on availability here:
-        when it is installed we decode raw sequences the same way; otherwise
-        we consume the intermediate per-sequence layout the reference's
-        decoder produces (``<seq>/<seq>.pkl`` + ``<seq>/NNNN.npy``), which is
-        the format every published OpenPCDet Waymo setup already ships.
-        ``num_points_in_gt`` is filled in when missing.
+        Documented deviation: the reference decodes raw TFRecords via
+        ``waymo_open_dataset``'s TF range-image utils; that toolchain
+        (tensorflow) is absent from TPU training hosts, so THIS
+        implementation consumes only the intermediate per-sequence layout
+        the reference's decoder produces (``<seq>/<seq>.pkl`` +
+        ``<seq>/NNNN.npy``) — the format every published OpenPCDet Waymo
+        setup already ships. Missing sequences raise with a pointer to the
+        decode step. ``num_points_in_gt`` is filled in when missing.
         """
         raw_data_path = Path(raw_data_path)
         save_path = Path(save_path)
@@ -163,17 +181,12 @@ class WaymoDataset(DatasetTemplate):
             seq = Path(sequence_file).stem
             info_path = save_path / seq / f'{seq}.pkl'
             if not info_path.exists():
-                try:
-                    import waymo_open_dataset  # noqa: F401
-                except ImportError:
-                    raise FileNotFoundError(
-                        f'{info_path} not found and waymo_open_dataset is '
-                        'not installed: decode the raw TFRecords with the '
-                        'waymo toolchain first (per-sequence pkl + npy '
-                        'layout), then re-run create_infos.')
-                raise NotImplementedError(
-                    'raw TFRecord decoding requires tensorflow; use the '
-                    'intermediate per-sequence layout instead')
+                raise FileNotFoundError(
+                    f'{info_path} not found: decode the raw TFRecords with '
+                    'the waymo_open_dataset toolchain first (per-sequence '
+                    'pkl + npy layout), then re-run create_infos. Raw '
+                    'TFRecord decoding is intentionally not reimplemented '
+                    'here (needs tensorflow; see docstring).')
             with open(info_path, 'rb') as f:
                 seq_infos = pickle.load(f)
             for info in seq_infos[::sampled_interval]:

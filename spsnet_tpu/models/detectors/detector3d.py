@@ -114,13 +114,19 @@ def post_processing(batch, post_cfg):
         cls_preds_normalized=bool(batch.get('cls_preds_normalized', False)))
 
 
-@functools.partial(jax.jit, static_argnames=('thresh_list',))
+@functools.partial(jax.jit, static_argnames=('thresh_list', 'per_frame'))
 def generate_recall_record_batch(pred_boxes, pred_count, gt_boxes,
-                                 thresh_list=(0.3, 0.5, 0.7)):
-    """Batched recall record: (B, P, 7) x (B,) x (B, T, 8) -> summed counts
-    dict (one device round-trip per eval batch, not per frame)."""
+                                 thresh_list=(0.3, 0.5, 0.7),
+                                 per_frame=False):
+    """Batched recall record: (B, P, 7) x (B,) x (B, T, 8) -> counts dict
+    (one device round-trip per eval batch, not per frame). With
+    ``per_frame=True`` each value is the (B,) per-frame vector instead of
+    the batch sum — the eval loop needs per-frame counts to skip
+    loader-padding duplicate frames."""
     recs = jax.vmap(lambda b, c, g: generate_recall_record(
         b, c, g, thresh_list=thresh_list))(pred_boxes, pred_count, gt_boxes)
+    if per_frame:
+        return recs
     return {k: jnp.sum(v) for k, v in recs.items()}
 
 

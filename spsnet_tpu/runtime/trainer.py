@@ -263,6 +263,18 @@ class Trainer:
             out.append(a)
         return out
 
+    @staticmethod
+    def _finalize_recall(det_annos):
+        """Sum the per-frame '_recall' counts attached during the eval loop
+        (after cross-process merge + frame-id dedup, so recall describes
+        exactly the detection set the mAP is computed on), stripping the
+        key before the annos reach dataset.evaluation."""
+        recall_dict = {}
+        for anno in det_annos:
+            for k, v in anno.pop('_recall', {}).items():
+                recall_dict[k] = recall_dict.get(k, 0) + v
+        return recall_dict
+
     def _merge_results_multiprocess(self, det_annos):
         """Cross-process det-annos merge via the shared filesystem (parity:
         ``common_utils.merge_results_dist:201-222``): each process dumps its
@@ -303,7 +315,6 @@ class Trainer:
         det annos across processes and return (None, '', {}) on non-zero
         processes."""
         det_annos = []
-        recall_dict = {}
         thresh_list = list(self.cfg.MODEL.POST_PROCESSING.RECALL_THRESH_LIST)
         t0 = time.time()
         n_frames = 0
@@ -311,13 +322,16 @@ class Trainer:
         for batch in eval_loader:
             db = shard_batch(device_batch(batch), self.mesh)
             dets, _ = self.eval_step(state.params, state.batch_stats, db)
+            rec = None
             if 'gt_boxes' in batch:
-                rec = generate_recall_record_batch(
+                # per-frame counts, attached to each anno below so that the
+                # cross-process merge + frame-id dedup covers recall exactly
+                # like it covers AP (padded duplicate frames count once,
+                # and the reported recall describes the same global
+                # detection set as the mAP next to it)
+                rec = jax.device_get(generate_recall_record_batch(
                     dets['boxes'], dets['count'], db['gt_boxes'],
-                    thresh_list=tuple(thresh_list))
-                rec = jax.device_get(rec)
-                for k, v in rec.items():
-                    recall_dict[k] = recall_dict.get(k, 0) + int(v)
+                    thresh_list=tuple(thresh_list), per_frame=True))
             dets = jax.device_get(dets)
             B = dets['boxes'].shape[0]
             n_frames += B
@@ -332,6 +346,9 @@ class Trainer:
             annos = dataset.generate_prediction_dicts(
                 batch, pred_dicts, class_names,
                 output_path=result_dir if save_to_file else None)
+            if rec is not None:
+                for b, anno in enumerate(annos):
+                    anno['_recall'] = {k: int(v[b]) for k, v in rec.items()}
             det_annos.extend(annos)
         sec_per_example = (time.time() - t0) / max(n_frames, 1)
         if self.logger:
@@ -340,6 +357,7 @@ class Trainer:
         if det_annos is None:
             return None, '', {}
         det_annos = self._dedup_by_frame_id(det_annos)
+        recall_dict = self._finalize_recall(det_annos)
         result_str, result_dict = dataset.evaluation(det_annos, class_names)
         gt = max(recall_dict.pop('gt', 0), 1)
         for k, v in recall_dict.items():

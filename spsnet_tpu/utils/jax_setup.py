@@ -34,8 +34,17 @@ def maybe_init_distributed() -> bool:
     n = os.environ.get('JAX_NUM_PROCESSES')
     coord = os.environ.get('JAX_COORDINATOR_ADDRESS')
     from jax._src import clusters
-    auto = any(c.is_env_present() for c in clusters.ClusterEnv.__subclasses__()
-               if c is not clusters.ClusterEnv)
+
+    def _all_cluster_types(base):
+        # Recursive walk: GCE/GKE TPU pod detectors subclass BaseTpuCluster
+        # (itself never env-present), so direct __subclasses__() misses the
+        # exact platforms this feature targets. Mirrors jax's own
+        # ClusterEnv._cluster_types registry.
+        for c in base.__subclasses__():
+            yield c
+            yield from _all_cluster_types(c)
+
+    auto = any(c.is_env_present() for c in _all_cluster_types(clusters.ClusterEnv))
     if coord and n:
         jax.distributed.initialize(
             coordinator_address=coord,

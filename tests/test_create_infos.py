@@ -93,7 +93,10 @@ def test_create_waymo_infos_and_gt_database(tmp_path):
 
 
 def make_nuscenes_root(tmp_path, n_frames=3):
-    root = tmp_path / 'nuscenes'
+    # Data lives under <base>/<VERSION>/ — NuScenesDataset appends
+    # cfg.VERSION to root_path (reference parity), so the fixture nests too.
+    base = tmp_path / 'nuscenes'
+    root = base / 'v1.0-mini'
     root.mkdir(parents=True)
     (root / 'samples').mkdir()
     rng = np.random.default_rng(1)
@@ -120,12 +123,13 @@ def make_nuscenes_root(tmp_path, n_frames=3):
         })
     with open(root / 'nuscenes_infos_10sweeps_train.pkl', 'wb') as f:
         pickle.dump(infos, f)
-    return root
+    return base
 
 
 def test_create_nuscenes_gt_database(tmp_path):
     from spsnet_tpu.data.nuscenes.nuscenes_dataset import NuScenesDataset
-    root = make_nuscenes_root(tmp_path)
+    base = make_nuscenes_root(tmp_path)
+    root = base / 'v1.0-mini'                 # dataset.root_path after init
     cfg = EDict({
         'DATASET': 'NuScenesDataset',
         'DATA_PATH': 'unused', 'VERSION': 'v1.0-mini', 'MAX_SWEEPS': 10,
@@ -141,7 +145,8 @@ def test_create_nuscenes_gt_database(tmp_path):
         'DATA_PROCESSOR': [],
     })
     dataset = NuScenesDataset(dataset_cfg=cfg, class_names=None,
-                              root_path=root, training=False)
+                              root_path=base, training=False)
+    assert dataset.root_path == root
     with open(root / 'nuscenes_infos_10sweeps_train.pkl', 'rb') as f:
         dataset.infos = pickle.load(f)
     dataset.create_groundtruth_database(max_sweeps=10)

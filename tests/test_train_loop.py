@@ -95,3 +95,19 @@ def test_trainer_anchor_and_center_families(tmp_path, family):
         state, metrics = trainer.train_step(state, db)
     assert np.isfinite(float(metrics['loss']))
     assert int(state.step) == 2
+
+
+def test_recall_dedup_and_finalize():
+    """Recall counts ride each anno through merge+dedup: loader-padding
+    duplicate frames contribute once, and the '_recall' key is stripped
+    before annos reach dataset.evaluation."""
+    annos = [
+        {'frame_id': '000000', '_recall': {'gt': 3, 'roi_0.5': 2}},
+        {'frame_id': '000001', '_recall': {'gt': 1, 'roi_0.5': 1}},
+        {'frame_id': '000001', '_recall': {'gt': 1, 'roi_0.5': 1}},  # pad dup
+    ]
+    deduped = Trainer._dedup_by_frame_id(annos)
+    assert [a['frame_id'] for a in deduped] == ['000000', '000001']
+    rec = Trainer._finalize_recall(deduped)
+    assert rec == {'gt': 4, 'roi_0.5': 3}
+    assert all('_recall' not in a for a in deduped)

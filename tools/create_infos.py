@@ -79,8 +79,9 @@ def main():
             dataset_cfg=cfg, class_names=None, root_path=data_path,
             training=False)
         train_pkl = None
-        for cand in (data_path, data_path / args.version, save_path,
-                     save_path / args.version):
+        # dataset.root_path is <data_path>/<version>; infos are written to
+        # <save_path>/<version> by create_nuscenes_info
+        for cand in (dataset.root_path, save_path / args.version):
             p = cand / f'nuscenes_infos_{args.max_sweeps}sweeps_train.pkl'
             if p.exists():
                 train_pkl = p
