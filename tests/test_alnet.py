@@ -226,3 +226,30 @@ def test_alnet_sem_task_losses(al_setup):
         loss, tb = m2.apply(variables, o, method=m2.loss)
         assert np.isfinite(float(loss)), mode
         assert 'sem_loss' in tb, mode
+
+
+def test_unet_registry_slots():
+    """Registry parity: U_Net and CP_Unet are buildable BACKBONE_2D slots
+    (reference backbones_2d/__init__.py:6-11), and U_Net's forward matches
+    the reference topology (unets.py:46-122): 5-level [16..256] pyramid,
+    same-resolution out_ch map."""
+    from spsnet_tpu.models.backbones_2d import build_backbone_2d
+
+    unet = build_backbone_2d('U_Net', out_ch=2)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 32, 32, 3)),
+                    jnp.float32)
+    vars_ = unet.init(jax.random.PRNGKey(0), x, train=False)
+    out = unet.apply(vars_, x, train=False)
+    assert out.shape == (1, 32, 32, 2)
+    # encoder pyramid widths match the reference's forced in_ch=16 quirk
+    enc_ch = [vars_['params'][f'enc{i}']['conv1']['kernel'].shape[-1]
+              for i in range(1, 6)]
+    assert enc_ch == [16, 32, 64, 128, 256]
+
+    cp = build_backbone_2d('CP_Unet', input_channels=8, output_channels=8)
+    y = jnp.asarray(np.random.default_rng(1).normal(size=(1, 16, 16, 8)),
+                    jnp.float32)
+    cvars = cp.init(jax.random.PRNGKey(0), y, train=False)
+    out2, feats = cp.apply(cvars, y, train=False)
+    assert out2.shape == (1, 16, 16, 8)
+    assert set(feats) == {'e1', 'e2', 'e3', 'd0'}
