@@ -10,13 +10,32 @@ import numpy as np
 
 
 def rotate_points_along_z_np(points, angle):
-    """(N, 3+C) rotated by scalar angle (x toward y)."""
+    """(N, 3+C) rotated by scalar angle (x toward y).
+
+    Native fast path (bit-identical: same f32 op order, trig rounded to
+    f32 by numpy on both paths) for large f32 arrays; numpy matmul
+    otherwise."""
     cosa, sina = np.cos(angle), np.sin(angle)
+    if points.dtype == np.float32 and points.shape[0] >= 1024:
+        from ...native.hostpipe import rot_z_inplace_native
+        out = points.copy()
+        if rot_z_inplace_native(out, np.float32(cosa), np.float32(sina)):
+            return out
     rot = np.array([[cosa, sina, 0], [-sina, cosa, 0], [0, 0, 1]],
                    dtype=points.dtype)
     out = points.copy()
     out[:, 0:3] = points[:, 0:3] @ rot
     return out
+
+
+def _negate_col(points, col):
+    """In-place column negation (exact in any precision); native single
+    pass for big f32 arrays, numpy otherwise."""
+    if points.dtype == np.float32 and points.shape[0] >= 1024:
+        from ...native.hostpipe import negate_col_inplace_native
+        if negate_col_inplace_native(points, col):
+            return
+    points[:, col] = -points[:, col]
 
 
 def random_flip_along_x(gt_boxes, points, enable=None):
@@ -28,7 +47,7 @@ def random_flip_along_x(gt_boxes, points, enable=None):
         points = points.copy()
         gt_boxes[:, 1] = -gt_boxes[:, 1]
         gt_boxes[:, 6] = -gt_boxes[:, 6]
-        points[:, 1] = -points[:, 1]
+        _negate_col(points, 1)
         if gt_boxes.shape[1] > 7:
             gt_boxes[:, 8] = -gt_boxes[:, 8]   # velocity y
     return gt_boxes, points
@@ -42,7 +61,7 @@ def random_flip_along_y(gt_boxes, points, enable=None):
         points = points.copy()
         gt_boxes[:, 0] = -gt_boxes[:, 0]
         gt_boxes[:, 6] = -(gt_boxes[:, 6] + np.pi)
-        points[:, 0] = -points[:, 0]
+        _negate_col(points, 0)
         if gt_boxes.shape[1] > 7:
             gt_boxes[:, 7] = -gt_boxes[:, 7]
     return gt_boxes, points
@@ -157,9 +176,19 @@ def global_scaling(gt_boxes, points, scale_range, scale=None):
         return gt_boxes, points
     if scale is None:
         scale = np.random.uniform(scale_range[0], scale_range[1])
+    # np.float64 scalar (what np.random.uniform returns): numpy computes the
+    # in-place f32 multiply in f64 then rounds (NEP 50 strong scalar); the
+    # native kernel does the same. Coerce so an explicitly-passed python
+    # float (weak scalar -> f32 compute) behaves identically on both paths.
+    scale = np.float64(scale)
     points = points.copy()
     gt_boxes = gt_boxes.copy()
-    points[:, :3] *= scale
+    if points.dtype == np.float32 and points.shape[0] >= 1024:
+        from ...native.hostpipe import scale_xyz_inplace_native
+        if not scale_xyz_inplace_native(points, float(scale)):
+            points[:, :3] *= scale
+    else:
+        points[:, :3] *= scale
     gt_boxes[:, :6] *= scale
     return gt_boxes, points
 

@@ -13,7 +13,7 @@ from pathlib import Path
 import numpy as np
 
 from .data_augmentor_geometry import boxes_bev_iou_cpu
-from ..processor.data_processor import points_in_boxes_cpu_np
+from ..processor.data_processor import points_first_box_np
 
 
 class DataBaseSampler:
@@ -109,9 +109,10 @@ class DataBaseSampler:
         obj_points = np.concatenate(obj_points_list, axis=0)
         sampled_gt_names = np.array([x['name'] for x in total_valid_sampled_dict])
 
-        # carve out scene points inside the sampled boxes
-        indicator = points_in_boxes_cpu_np(points[:, :3], sampled_gt_boxes[:, :7])
-        points = points[indicator.sum(axis=0) == 0]
+        # carve out scene points inside the sampled boxes (first-hit native
+        # kernel: no (T, N) indicator materialized)
+        first_box = points_first_box_np(points[:, :3], sampled_gt_boxes[:, :7])
+        points = points[first_box < 0]
 
         data_dict['points'] = np.concatenate([obj_points, points], axis=0)
         data_dict['gt_names'] = np.concatenate([gt_names, sampled_gt_names])

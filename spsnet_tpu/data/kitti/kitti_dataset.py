@@ -108,6 +108,21 @@ class KittiDataset(DatasetTemplate):
         val_flag_merge = np.logical_and(val_flag_1, val_flag_2)
         return np.logical_and(val_flag_merge, pts_rect_depth >= 0)
 
+    @staticmethod
+    def get_fov_flag_lidar(points, img_shape, calib):
+        """FOV mask straight from lidar points: the native single-pass
+        kernel when available (skips materializing pts_rect / pts_img),
+        else the two-step numpy path. Differences vs numpy are confined
+        to points within float32 rounding of the image boundary (the
+        BLAS-vs-sequential 4-term dot product); see
+        tests/test_native_hostpipe.py."""
+        from ...native.hostpipe import fov_mask_native
+        flag = fov_mask_native(points[:, 0:3], calib, img_shape)
+        if flag is not None:
+            return flag
+        pts_rect = calib.lidar_to_rect(points[:, 0:3])
+        return KittiDataset.get_fov_flag(pts_rect, img_shape, calib)
+
     def __len__(self):
         if self._merge_all_iters_to_one_epoch:
             return len(self.kitti_infos) * getattr(self, 'total_epochs', 1)
@@ -142,8 +157,7 @@ class KittiDataset(DatasetTemplate):
         if 'points' in get_item_list:
             points = self.get_lidar(sample_idx)
             if self.dataset_cfg.FOV_POINTS_ONLY:
-                pts_rect = calib.lidar_to_rect(points[:, 0:3])
-                fov_flag = self.get_fov_flag(pts_rect, img_shape, calib)
+                fov_flag = self.get_fov_flag_lidar(points, img_shape, calib)
                 points = points[fov_flag]
             input_dict['points'] = points
         if 'images' in get_item_list:

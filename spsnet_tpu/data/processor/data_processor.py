@@ -34,14 +34,23 @@ def points_in_boxes_cpu_np(points, boxes):
     """(N, 3) x (T, 7) -> (T, N) 0/1 indicator (parity:
     ``points_in_boxes_cpu``, ``roiaware_pool3d_kernel.cu`` CPU path).
 
-    Two-phase for host speed: a coarse union-of-AABBs candidate mask (cheap
-    compares, no trig/broadcast float math over the full N), then the exact
-    rotated test only on candidate points. Object boxes cover a small
-    fraction of a 120k-point scan, so this is ~5-10x the naive (T, N)
-    broadcast on real frames; results are bit-identical.
+    Fast path: the native C++ kernel (``native/hostpipe_native.cpp``),
+    bit-identical to the numpy path below by construction (same float32
+    op order, trig precomputed by numpy, -ffp-contract=off) and verified
+    by ``tests/test_native_hostpipe.py``.
+
+    Numpy fallback is two-phase for host speed: a coarse union-of-AABBs
+    candidate mask (cheap compares, no trig/broadcast float math over the
+    full N), then the exact rotated test only on candidate points. Object
+    boxes cover a small fraction of a 120k-point scan, so this is ~5-10x
+    the naive (T, N) broadcast on real frames; results are bit-identical.
     """
     if boxes.shape[0] == 0:
         return np.zeros((0, points.shape[0]), dtype=np.int32)
+    from ...native.hostpipe import points_in_boxes_native
+    out = points_in_boxes_native(points, boxes)
+    if out is not None:
+        return out
     xyz = points[:, :3]
     half_diag = 0.5 * np.hypot(boxes[:, 3], boxes[:, 4]) + 1e-4
     lo_xy = boxes[:, 0:2] - half_diag[:, None]
@@ -58,6 +67,23 @@ def points_in_boxes_cpu_np(points, boxes):
     if idx.size:
         out[:, idx] = _points_in_boxes_exact(xyz[idx], boxes)
     return out
+
+
+def points_first_box_np(points, boxes):
+    """(N, 3) x (T, 7) -> (N,) int32: index of the lowest-index box
+    containing each point, -1 if none. Equals
+    ``argmax(points_in_boxes_cpu_np(...), axis=0)`` masked by any-hit, but
+    the native path never materializes the (T, N) indicator."""
+    if boxes.shape[0] == 0:
+        return np.full(points.shape[0], -1, dtype=np.int32)
+    from ...native.hostpipe import points_first_box_native
+    out = points_first_box_native(points, boxes)
+    if out is not None:
+        return out
+    indicator = points_in_boxes_cpu_np(points, boxes)
+    hit = indicator.sum(axis=0) > 0
+    first = indicator.argmax(axis=0).astype(np.int32)
+    return np.where(hit, first, np.int32(-1)).astype(np.int32)
 
 
 class DataProcessor:
@@ -79,8 +105,11 @@ class DataProcessor:
         points = data_dict.get('points', None)
         if points is not None:
             pcr = self.point_cloud_range
-            mask = ((points[:, 0] >= pcr[0]) & (points[:, 0] <= pcr[3]) &
-                    (points[:, 1] >= pcr[1]) & (points[:, 1] <= pcr[4]))
+            from ...native.hostpipe import range_xy_mask_native
+            mask = range_xy_mask_native(points, pcr)
+            if mask is None:
+                mask = ((points[:, 0] >= pcr[0]) & (points[:, 0] <= pcr[3]) &
+                        (points[:, 1] >= pcr[1]) & (points[:, 1] <= pcr[4]))
             data_dict['points'] = points[mask]
             for key in ('sem_labels', 'fake_labels'):
                 if data_dict.get(key, None) is not None:
@@ -112,9 +141,8 @@ class DataProcessor:
         gt_boxes = data_dict.get('gt_boxes', np.zeros((0, 8), dtype=np.float32))
         fake_labels = np.zeros(points.shape[0], dtype=np.int32)
         if gt_boxes.shape[0] > 0:
-            indicator = points_in_boxes_cpu_np(points[:, :3], gt_boxes[:, :7])
-            box_mask = indicator.sum(axis=0) > 0
-            box_idx = np.argmax(indicator, axis=0)
+            box_idx = points_first_box_np(points[:, :3], gt_boxes[:, :7])
+            box_mask = box_idx >= 0
             fake_labels[box_mask] = gt_boxes[box_idx[box_mask], -1].astype(np.int32)
         data_dict['fake_labels'] = fake_labels
         return data_dict
@@ -128,8 +156,10 @@ class DataProcessor:
             return data_dict
         points = data_dict['points']
         if num_points < len(points):
-            depth = np.linalg.norm(points[:, 0:3], axis=1)
-            near_mask = depth < 40.0
+            from ...native.hostpipe import near_mask_native
+            near_mask = near_mask_native(points, 40.0)
+            if near_mask is None:
+                near_mask = np.linalg.norm(points[:, 0:3], axis=1) < 40.0
             far_idxs = np.where(~near_mask)[0]
             near_idxs = np.where(near_mask)[0]
             if num_points > len(far_idxs):

@@ -23,23 +23,41 @@ _lib = None
 _build_failed = False
 
 
-def _lib_path():
+_FLAGS = ['-O3', '-ffp-contract=off', '-shared', '-fPIC', '-std=c++17']
+
+
+def native_disabled():
+    """Global kill switch (also how parity tests reach the numpy twins)."""
+    return os.environ.get('SPSNET_NATIVE', '1') == '0'
+
+
+def lib_cache_path(src_name: str):
     """Cache path keyed by source hash: a changed .cpp always rebuilds,
     a fresh checkout never trusts a stale binary."""
-    src = (_DIR / 'kitti_eval_native.cpp').read_bytes()
+    src = (_DIR / src_name).read_bytes() + b'|' + ' '.join(_FLAGS).encode()
     h = hashlib.sha256(src).hexdigest()[:16]
     cache = Path(os.environ.get('SPSNET_NATIVE_CACHE',
                                 Path(tempfile.gettempdir()) /
                                 'spsnet_tpu_native'))
     cache.mkdir(parents=True, exist_ok=True)
-    return cache / f'libkitti_eval-{h}.so'
+    stem = src_name.rsplit('.', 1)[0]
+    return cache / f'lib{stem}-{h}.so'
+
+
+def build_lib(src_name: str, lib_path):
+    """g++ the single-file library. -ffp-contract=off keeps float32 kernels
+    bit-identical to their numpy twins (FMA contraction changes rounding)."""
+    src = _DIR / src_name
+    cmd = ['g++', *_FLAGS, '-o', str(lib_path), str(src)]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _lib_path():
+    return lib_cache_path('kitti_eval_native.cpp')
 
 
 def _build(lib_path):
-    src = _DIR / 'kitti_eval_native.cpp'
-    cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
-           '-o', str(lib_path), str(src)]
-    subprocess.run(cmd, check=True, capture_output=True)
+    build_lib('kitti_eval_native.cpp', lib_path)
 
 
 def _self_check(lib):
