@@ -49,7 +49,13 @@ def _overlap_pair(ca, cb):
 
 
 def rotate_iou_eval(boxes, qboxes, criterion=-1):
-    """(N, 5) x (K, 5) -> (N, K) rotated IoU (devkit convention)."""
+    """(N, 5) x (K, 5) -> (N, K) rotated IoU (devkit convention).
+
+    Criterion matches ``rotate_iou.py`` `devRotateIoUEval`: -1 = union IoU,
+    0 = overlap/area_a, 1 = overlap/area_b, anything else = the raw
+    intersection AREA (the devkit's ua=1.0 branch; ``d3_box_overlap`` calls
+    with criterion=2 to get the BEV intersection before the height product).
+    """
     n, k = boxes.shape[0], qboxes.shape[0]
     out = np.zeros((n, k), dtype=np.float32)
     if n == 0 or k == 0:
@@ -69,8 +75,10 @@ def rotate_iou_eval(boxes, qboxes, criterion=-1):
             denom = area_a[i] + area_b[j] - ov
         elif criterion == 0:
             denom = area_a[i]
-        else:
+        elif criterion == 1:
             denom = area_b[j]
+        else:
+            denom = 1.0
         out[i, j] = ov / max(denom, 1e-8)
     return out
 

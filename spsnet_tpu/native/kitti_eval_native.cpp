@@ -88,7 +88,8 @@ inline double rotated_overlap(const float* ba, const float* bb) {
 
 extern "C" {
 
-// boxes (n, 5) x qboxes (k, 5) -> out (n, k); criterion: -1 union, 0/1 area a/b
+// boxes (n, 5) x qboxes (k, 5) -> out (n, k); criterion: -1 union,
+// 0/1 area a/b, else raw intersection area (devkit ua=1.0 branch)
 void rotate_iou_eval(const float* boxes, int64_t n, const float* qboxes,
                      int64_t k, int criterion, float* out) {
     for (int64_t i = 0; i < n; ++i) {
@@ -100,7 +101,8 @@ void rotate_iou_eval(const float* boxes, int64_t n, const float* qboxes,
             double denom;
             if (criterion == -1) denom = area_a + (double)bb[2] * bb[3] - ov;
             else if (criterion == 0) denom = area_a;
-            else denom = (double)bb[2] * bb[3];
+            else if (criterion == 1) denom = (double)bb[2] * bb[3];
+            else denom = 1.0;
             out[i * k + j] = (float)(ov / std::max(denom, 1e-8));
         }
     }

@@ -50,9 +50,20 @@ def load_reference_pcdet():
             return _stub(name, **attrs)
 
     _stub_if_missing('SharedArray')
-    _stub_if_missing('numba', jit=lambda *a, **k: (lambda f: f),
-                     njit=lambda *a, **k: (lambda f: f))
-    _stub_if_missing('numba.cuda')
+
+    def _identity_jit(*args, **kwargs):
+        # handles both ``@numba.jit`` (bare: args = (func,)) and
+        # ``@numba.jit(nopython=True, ...)`` (factory) so the decorated
+        # reference functions run as plain Python
+        if len(args) == 1 and callable(args[0]) and not kwargs:
+            return args[0]
+        return lambda f: f
+
+    numba_mod = _stub_if_missing('numba', jit=_identity_jit,
+                                 njit=_identity_jit, float32='float32')
+    cuda_mod = _stub_if_missing('numba.cuda', jit=_identity_jit)
+    if not hasattr(numba_mod, 'cuda'):
+        numba_mod.cuda = cuda_mod
 
     class _FakeDelaunay:  # box_utils.in_hull dependency; not under test
         def __init__(self, *a, **k):
@@ -182,6 +193,27 @@ def build_reference_iassd(model_cfg, class_names=('Car', 'Pedestrian',
     return iassd_mod.IASSD(model_cfg=model_cfg,
                            num_class=len(class_names),
                            dataset=_FakeDataset())
+
+
+def load_reference_kitti_eval():
+    """Load the reference's KITTI evaluator (`kitti_object_eval_python/eval.py`)
+    as pure Python: numba decorators are identity-stubbed (see above) and the
+    numba-CUDA ``rotate_iou_gpu_eval`` is replaced by our numpy devkit clip —
+    the SAME function our evaluator's fallback path uses, so an AP difference
+    isolates protocol drift (matching, thresholds, difficulty, AP
+    integration), not IoU arithmetic."""
+    name = 'ref_kitti_eval_pkg'
+    if f'{name}.eval' in sys.modules:
+        return sys.modules[f'{name}.eval']
+    load_reference_pcdet()
+    pkg = _stub(name)
+    pkg.__path__ = [f'{REFERENCE_ROOT}/pcdet/datasets/kitti/'
+                    'kitti_object_eval_python']
+    import importlib
+    mod = importlib.import_module(f'{name}.eval')
+    from spsnet_tpu.eval.rotate_iou import rotate_iou_eval
+    mod.rotate_iou_gpu_eval = rotate_iou_eval
+    return mod
 
 
 def load_reference_file(rel_path, name):

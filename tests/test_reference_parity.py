@@ -278,3 +278,88 @@ def test_enlarge_box3d():
     ref_out = ref_box_utils.enlarge_box3d(t(boxes), extra)
     close(our_box_utils.enlarge_box3d(jnp.asarray(boxes), tuple(extra)),
           ref_out, atol=1e-6)
+
+
+# ------------------------------------------------ calibration + pred-dict leg
+
+def _calib_dict(rng):
+    P2 = np.array([[720.0, 0.0, 620.0, 44.9],
+                   [0.0, 720.0, 187.0, 0.2],
+                   [0.0, 0.0, 1.0, 0.003]], dtype=np.float32)
+    th = rng.normal(0, 0.01)
+    R0 = np.array([[np.cos(th), np.sin(th), 0.0],
+                   [-np.sin(th), np.cos(th), 0.0],
+                   [0.0, 0.0, 1.0]], dtype=np.float32)
+    V2C = np.array([[0.0, -1.0, 0.0, 0.002],
+                    [0.0, 0.0, -1.0, -0.08],
+                    [1.0, 0.0, 0.0, -0.27]], dtype=np.float32)
+    return {'P2': P2, 'P3': P2.copy(), 'R0': R0, 'Tr_velo2cam': V2C}
+
+
+def _both_calibs():
+    """Same calib dict through OUR Calibration and the reference's."""
+    import importlib
+    from spsnet_tpu.data.kitti.calibration import Calibration as OurCalib
+    ref_mod = importlib.import_module('pcdet.utils.calibration_kitti')
+    rng = np.random.default_rng(11)
+    d = _calib_dict(rng)
+    return OurCalib(dict(d)), ref_mod.Calibration(dict(d)), rng
+
+
+def test_calibration_transforms_match_reference():
+    """lidar_to_rect / rect_to_lidar / rect_to_img / img_to_rect parity
+    (``pcdet/utils/calibration_kitti.py:50-105``)."""
+    ours_c, ref_c, rng = _both_calibs()
+    pts = np.stack([rng.uniform(2, 70, 256), rng.uniform(-30, 30, 256),
+                    rng.uniform(-2.5, 1.0, 256)], 1).astype(np.float32)
+    ref_rect = ref_c.lidar_to_rect(pts)
+    np.testing.assert_allclose(ours_c.lidar_to_rect(pts), ref_rect, atol=1e-4)
+    np.testing.assert_allclose(ours_c.rect_to_lidar(ref_rect),
+                               ref_c.rect_to_lidar(ref_rect), atol=1e-4)
+    oi, od = ours_c.rect_to_img(ref_rect)
+    ri, rd = ref_c.rect_to_img(ref_rect)
+    np.testing.assert_allclose(oi, ri, atol=1e-3)
+    np.testing.assert_allclose(od, rd, atol=1e-4)
+    u = rng.uniform(0, 1200, 64).astype(np.float32)
+    v = rng.uniform(0, 370, 64).astype(np.float32)
+    dep = rng.uniform(2, 70, 64).astype(np.float32)
+    np.testing.assert_allclose(ours_c.img_to_rect(u, v, dep),
+                               ref_c.img_to_rect(u, v, dep), atol=1e-4)
+
+
+def test_box_conversions_match_reference():
+    """The full prediction-dict conversion leg (`generate_prediction_dicts`,
+    ``kitti_dataset.py:276-351``): lidar boxes -> camera boxes -> image
+    bboxes, and camera -> lidar for gt loading
+    (``pcdet/utils/box_utils.py:92-118,161-247``)."""
+    from spsnet_tpu.data.kitti import kitti_utils
+    ours_c, ref_c, rng = _both_calibs()
+    n = 48
+    lidar = np.zeros((n, 7), dtype=np.float32)
+    lidar[:, 0] = rng.uniform(2, 68, n)
+    lidar[:, 1] = rng.uniform(-30, 30, n)
+    lidar[:, 2] = rng.uniform(-2, 0.5, n)
+    lidar[:, 3] = rng.uniform(3.2, 4.6, n)   # dx
+    lidar[:, 4] = rng.uniform(1.4, 1.9, n)   # dy
+    lidar[:, 5] = rng.uniform(1.3, 1.8, n)   # dz
+    lidar[:, 6] = rng.uniform(-np.pi, np.pi, n)
+
+    ref_cam = ref_box_utils.boxes3d_lidar_to_kitti_camera(lidar, ref_c)
+    our_cam = kitti_utils.boxes3d_lidar_to_kitti_camera(lidar, ours_c)
+    np.testing.assert_allclose(our_cam, ref_cam, atol=1e-4)
+
+    img_shape = (375, 1242)
+    ref_img = ref_box_utils.boxes3d_kitti_camera_to_imageboxes(
+        ref_cam.copy(), ref_c, image_shape=img_shape)
+    our_img = kitti_utils.boxes3d_kitti_camera_to_imageboxes(
+        our_cam.copy(), ours_c, image_shape=img_shape)
+    np.testing.assert_allclose(our_img, ref_img, atol=1e-2)  # pixel coords
+
+    ref_back = ref_box_utils.boxes3d_kitti_camera_to_lidar(ref_cam, ref_c)
+    our_back = kitti_utils.boxes3d_kitti_camera_to_lidar(our_cam, ours_c)
+    np.testing.assert_allclose(our_back, ref_back, atol=1e-4)
+    np.testing.assert_allclose(our_back, lidar, atol=1e-3)  # roundtrip
+
+    ref_corners = ref_box_utils.boxes3d_to_corners3d_kitti_camera(ref_cam)
+    our_corners = kitti_utils.boxes3d_to_corners3d_kitti_camera(our_cam)
+    np.testing.assert_allclose(our_corners, ref_corners, atol=1e-3)
