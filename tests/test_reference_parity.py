@@ -363,3 +363,91 @@ def test_box_conversions_match_reference():
     ref_corners = ref_box_utils.boxes3d_to_corners3d_kitti_camera(ref_cam)
     our_corners = kitti_utils.boxes3d_to_corners3d_kitti_camera(our_cam)
     np.testing.assert_allclose(our_corners, ref_corners, atol=1e-3)
+
+
+# ------------------------------------------- stochastic processor stages
+
+def _load_ref_data_processor():
+    """Reference DataProcessor. The ``pcdet.datasets`` __init__ chain pulls
+    skimage.io / CUDA ops, so the parent packages get bare __path__ stubs
+    (the reference_loader pattern) and only the leaf module executes;
+    skimage.transform is stubbed if absent (only downsample_depth_map
+    touches it, not under test)."""
+    import importlib
+    import sys
+    import types
+    try:
+        from skimage import transform  # noqa: F401
+    except ImportError:
+        sk = sys.modules.setdefault('skimage', types.ModuleType('skimage'))
+        tr = types.ModuleType('skimage.transform')
+        sk.transform = tr
+        sys.modules.setdefault('skimage.transform', tr)
+    from tests.reference_loader import REFERENCE_ROOT
+    for pkg, path in [
+        ('pcdet.datasets', f'{REFERENCE_ROOT}/pcdet/datasets'),
+        ('pcdet.datasets.processor',
+         f'{REFERENCE_ROOT}/pcdet/datasets/processor'),
+    ]:
+        mod = sys.modules.setdefault(pkg, types.ModuleType(pkg))
+        mod.__path__ = [path]
+    return importlib.import_module(
+        'pcdet.datasets.processor.data_processor')
+
+
+def _scan_frame(rng, n=60000):
+    pts = np.zeros((n, 4), dtype=np.float32)
+    pts[:, 0] = rng.uniform(-5, 75, n)
+    pts[:, 1] = rng.uniform(-45, 45, n)
+    pts[:, 2] = rng.uniform(-2.5, 1.5, n)
+    pts[:, 3] = rng.uniform(0, 1, n)
+    return pts
+
+
+def test_processor_stochastic_stages_match_reference():
+    """mask -> sample_points(16384) -> shuffle under the SAME legacy
+    np.random seed must produce bit-identical points on both sides: proves
+    our rebuild consumes the RNG stream in the reference's exact call order
+    (``data_processor.py:78-115,218-253``) — the property that makes
+    epoch-level data streams reproducible across the two frameworks."""
+    from types import SimpleNamespace
+    from spsnet_tpu.data.processor.data_processor import DataProcessor
+    ref_mod = _load_ref_data_processor()
+
+    pcr = np.array([0, -40, -3, 70.4, 40, 1], dtype=np.float32)
+    ours_p = DataProcessor([], pcr, training=True, num_point_features=4)
+    ref_p = ref_mod.DataProcessor([], pcr, training=True,
+                                  num_point_features=4)
+
+    class _Cfg(SimpleNamespace):
+        def get(self, k, d=None):
+            return getattr(self, k, d)
+
+    rng = np.random.default_rng(3)
+    base = _scan_frame(rng)
+
+    def run(proc):
+        dd = {'points': base.copy(),
+              'sem_labels': np.arange(len(base), dtype=np.int32)}
+        np.random.seed(1234)
+        dd = proc.mask_points_and_boxes_outside_range(
+            dd, _Cfg(REMOVE_OUTSIDE_BOXES=False))
+        dd = proc.sample_points(dd, _Cfg(NUM_POINTS={'train': 16384}))
+        dd = proc.shuffle_points(dd, _Cfg(SHUFFLE_ENABLED={'train': True}))
+        return dd
+
+    ours_d, ref_d = run(ours_p), run(ref_p)
+    assert ours_d['points'].shape == (16384, 4)
+    np.testing.assert_array_equal(ours_d['points'], ref_d['points'])
+    np.testing.assert_array_equal(ours_d['sem_labels'], ref_d['sem_labels'])
+
+    # sparse frame: fewer points than NUM_POINTS exercises the pad branch
+    sparse = base[:3000]
+
+    def run_sparse(proc):
+        dd = {'points': sparse.copy()}
+        np.random.seed(99)
+        return proc.sample_points(dd, _Cfg(NUM_POINTS={'train': 4096}))
+
+    np.testing.assert_array_equal(run_sparse(ours_p)['points'],
+                                  run_sparse(ref_p)['points'])
