@@ -38,10 +38,13 @@ def _negate_col(points, col):
     points[:, col] = -points[:, col]
 
 
-def random_flip_along_x(gt_boxes, points, enable=None):
-    """Flip y -> -y (``augmentor_utils.py:45-116`` ALONG_AXIS x)."""
+def random_flip_along_x(gt_boxes, points, enable=None, enable_prob=0.5):
+    """Flip y -> -y (``augmentor_utils.py:45-116`` ALONG_AXIS x). The
+    reference fork parameterizes the enable draw (ENABLE_PROB); draw order
+    matches it exactly so seeded RNG streams are bit-reproducible."""
     if enable is None:
-        enable = np.random.choice([False, True], p=[0.5, 0.5])
+        enable = np.random.choice([False, True], replace=False,
+                                  p=[1.0 - enable_prob, enable_prob])
     if enable:
         gt_boxes = gt_boxes.copy()
         points = points.copy()
@@ -53,9 +56,10 @@ def random_flip_along_x(gt_boxes, points, enable=None):
     return gt_boxes, points
 
 
-def random_flip_along_y(gt_boxes, points, enable=None):
+def random_flip_along_y(gt_boxes, points, enable=None, enable_prob=0.5):
     if enable is None:
-        enable = np.random.choice([False, True], p=[0.5, 0.5])
+        enable = np.random.choice([False, True], replace=False,
+                                  p=[1.0 - enable_prob, enable_prob])
     if enable:
         gt_boxes = gt_boxes.copy()
         points = points.copy()
@@ -67,8 +71,15 @@ def random_flip_along_y(gt_boxes, points, enable=None):
     return gt_boxes, points
 
 
-def global_rotation(gt_boxes, points, rot_range, angle=None):
+def global_rotation(gt_boxes, points, rot_range, angle=None,
+                    enable_prob=1.0):
     if angle is None:
+        # the reference draws the enable choice even at prob 1.0
+        # (``augmentor_utils.py:127``) — mirror it so seeded streams align
+        enable = np.random.choice([False, True], replace=False,
+                                  p=[1.0 - enable_prob, enable_prob])
+        if not enable:
+            return gt_boxes, points
         angle = np.random.uniform(rot_range[0], rot_range[1])
     points = rotate_points_along_z_np(points, angle)
     gt_boxes = gt_boxes.copy()
@@ -171,10 +182,15 @@ def global_frustum_dropout(gt_boxes, points, intensity_range, direction='top'):
     return gt_boxes, points[keep]
 
 
-def global_scaling(gt_boxes, points, scale_range, scale=None):
+def global_scaling(gt_boxes, points, scale_range, scale=None,
+                   enable_prob=1.0):
     if scale_range[1] - scale_range[0] < 1e-3:
         return gt_boxes, points
     if scale is None:
+        enable = np.random.choice([False, True], replace=False,
+                                  p=[1.0 - enable_prob, enable_prob])
+        if not enable:
+            return gt_boxes, points
         scale = np.random.uniform(scale_range[0], scale_range[1])
     # np.float64 scalar (what np.random.uniform returns): numpy computes the
     # in-place f32 multiply in f64 then rounds (NEP 50 strong scalar); the

@@ -38,10 +38,12 @@ class DataAugmentor:
         if data_dict is None:
             return partial(self.random_world_flip, config=config)
         gt_boxes, points = data_dict['gt_boxes'], data_dict['points']
+        enable_prob = config.get('ENABLE_PROB', 0.5)
         for cur_axis in config.ALONG_AXIS_LIST:
             assert cur_axis in ['x', 'y']
             gt_boxes, points = getattr(
-                augmentor_utils, f'random_flip_along_{cur_axis}')(gt_boxes, points)
+                augmentor_utils, f'random_flip_along_{cur_axis}')(
+                gt_boxes, points, enable_prob=enable_prob)
         data_dict['gt_boxes'] = gt_boxes
         data_dict['points'] = points
         return data_dict
@@ -53,7 +55,8 @@ class DataAugmentor:
         if not isinstance(rot_range, (list, tuple)):
             rot_range = [-rot_range, rot_range]
         gt_boxes, points = augmentor_utils.global_rotation(
-            data_dict['gt_boxes'], data_dict['points'], rot_range=rot_range)
+            data_dict['gt_boxes'], data_dict['points'], rot_range=rot_range,
+            enable_prob=config.get('ENABLE_PROB', 1.0))
         data_dict['gt_boxes'] = gt_boxes
         data_dict['points'] = points
         return data_dict
@@ -63,7 +66,8 @@ class DataAugmentor:
             return partial(self.random_world_scaling, config=config)
         gt_boxes, points = augmentor_utils.global_scaling(
             data_dict['gt_boxes'], data_dict['points'],
-            config.WORLD_SCALE_RANGE)
+            config.WORLD_SCALE_RANGE,
+            enable_prob=config.get('ENABLE_PROB', 1.0))
         data_dict['gt_boxes'] = gt_boxes
         data_dict['points'] = points
         return data_dict

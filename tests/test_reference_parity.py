@@ -383,16 +383,27 @@ def _load_ref_data_processor():
         tr = types.ModuleType('skimage.transform')
         sk.transform = tr
         sys.modules.setdefault('skimage.transform', tr)
+    _stub_ref_datasets_pkgs()
+    return importlib.import_module(
+        'pcdet.datasets.processor.data_processor')
+
+
+def _stub_ref_datasets_pkgs():
+    """Bare __path__ stubs for the reference's pcdet.datasets package tree
+    so leaf modules import without the __init__ chains (skimage.io, CUDA
+    ops, dataset registries)."""
+    import sys
+    import types
     from tests.reference_loader import REFERENCE_ROOT
     for pkg, path in [
         ('pcdet.datasets', f'{REFERENCE_ROOT}/pcdet/datasets'),
         ('pcdet.datasets.processor',
          f'{REFERENCE_ROOT}/pcdet/datasets/processor'),
+        ('pcdet.datasets.augmentor',
+         f'{REFERENCE_ROOT}/pcdet/datasets/augmentor'),
     ]:
         mod = sys.modules.setdefault(pkg, types.ModuleType(pkg))
         mod.__path__ = [path]
-    return importlib.import_module(
-        'pcdet.datasets.processor.data_processor')
 
 
 def _scan_frame(rng, n=60000):
@@ -451,3 +462,51 @@ def test_processor_stochastic_stages_match_reference():
 
     np.testing.assert_array_equal(run_sparse(ours_p)['points'],
                                   run_sparse(ref_p)['points'])
+
+
+# ---------------------------------------------- world augmentation queue
+
+def test_world_augmentor_matches_reference():
+    """random_world_flip -> rotation -> scaling under one np.random seed:
+    same draws in the same order (asserted via identical post-chain RNG
+    state) and matching outputs (1e-4: the reference rotates points through
+    torch float32 matmul, ours through numpy). Covers the fork's
+    ENABLE_PROB parameterization (``data_augmentor.py:81-121``)."""
+    import importlib
+    _stub_ref_datasets_pkgs()
+    ref_aug_utils = importlib.import_module(
+        'pcdet.datasets.augmentor.augmentor_utils')
+    from spsnet_tpu.data.augmentor import augmentor_utils as our_aug_utils
+
+    rng = np.random.default_rng(5)
+    n = 4096
+    pts = np.zeros((n, 4), dtype=np.float32)
+    pts[:, 0] = rng.uniform(0, 70, n)
+    pts[:, 1] = rng.uniform(-40, 40, n)
+    pts[:, 2] = rng.uniform(-2.5, 1.0, n)
+    boxes = np.zeros((9, 7), dtype=np.float32)
+    boxes[:, 0] = rng.uniform(5, 60, 9)
+    boxes[:, 1] = rng.uniform(-20, 20, 9)
+    boxes[:, 2] = rng.uniform(-1.5, 0, 9)
+    boxes[:, 3:6] = rng.uniform(0.5, 4.5, (9, 3))
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, 9)
+
+    for seed, ep_flip, ep_rot, ep_scale in [
+            (0, 0.5, 1.0, 1.0), (1, 1.0, 0.35, 0.35), (2, 0.2, 0.8, 0.6)]:
+        def chain(flip, rot, scale, b, p):
+            np.random.seed(seed)
+            b, p = flip(b.copy(), p.copy(), enable_prob=ep_flip)
+            b, p = rot(b, p, [-0.785, 0.785], enable_prob=ep_rot)
+            b, p = scale(b, p, [0.9, 1.1], enable_prob=ep_scale)
+            probe = np.random.uniform()      # RNG-stream alignment witness
+            return b, p, probe
+
+        rb, rp, rprobe = chain(ref_aug_utils.random_flip_along_x,
+                               ref_aug_utils.global_rotation,
+                               ref_aug_utils.global_scaling, boxes, pts)
+        ob, op, oprobe = chain(our_aug_utils.random_flip_along_x,
+                               our_aug_utils.global_rotation,
+                               our_aug_utils.global_scaling, boxes, pts)
+        assert oprobe == rprobe, (seed, 'RNG stream diverged')
+        np.testing.assert_allclose(op, np.asarray(rp), atol=1e-4)
+        np.testing.assert_allclose(ob, np.asarray(rb), atol=1e-4)
