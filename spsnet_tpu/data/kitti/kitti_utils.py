@@ -93,11 +93,15 @@ class Object3d:
     def get_kitti_obj_level(self):
         height = float(self.box2d[3]) - float(self.box2d[1]) + 1
         if height >= 40 and self.truncation <= 0.15 and self.occlusion <= 0:
-            return 0  # Easy
+            self.level_str = 'Easy'
+            return 0
         if height >= 25 and self.truncation <= 0.3 and self.occlusion <= 1:
-            return 1  # Moderate
+            self.level_str = 'Moderate'
+            return 1
         if height >= 25 and self.truncation <= 0.5 and self.occlusion <= 2:
-            return 2  # Hard
+            self.level_str = 'Hard'
+            return 2
+        self.level_str = 'UnKnown'
         return -1
 
 

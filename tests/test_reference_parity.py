@@ -510,3 +510,49 @@ def test_world_augmentor_matches_reference():
         assert oprobe == rprobe, (seed, 'RNG stream diverged')
         np.testing.assert_allclose(op, np.asarray(rp), atol=1e-4)
         np.testing.assert_allclose(ob, np.asarray(rb), atol=1e-4)
+
+
+# ------------------------------------------------------- label parsing
+
+def test_object3d_label_parsing_matches_reference():
+    """KITTI label-line parsing and difficulty binning
+    (``pcdet/utils/object3d_kitti.py``) vs our ``kitti_utils.Object3d``:
+    the data-entry leg of info generation must agree field-for-field."""
+    ref_obj3d = load_reference_file('pcdet/utils/object3d_kitti.py',
+                                    'ref_object3d_kitti')
+    from spsnet_tpu.data.kitti.kitti_utils import Object3d
+
+    rng = np.random.default_rng(17)
+    lines = []
+    names = ['Car', 'Pedestrian', 'Cyclist', 'Van', 'DontCare', 'Misc']
+    for i in range(24):
+        nm = names[int(rng.integers(0, len(names)))]
+        trunc = float(rng.uniform(0, 0.6))
+        occ = int(rng.integers(0, 4))
+        alpha = float(rng.uniform(-np.pi, np.pi))
+        x1, y1 = float(rng.uniform(0, 1100)), float(rng.uniform(0, 200))
+        x2, y2 = x1 + float(rng.uniform(10, 160)), \
+            y1 + float(rng.uniform(10, 90))
+        h, w, l = (float(rng.uniform(1.2, 2.0)), float(rng.uniform(1.4, 2.0)),
+                   float(rng.uniform(3.0, 4.8)))
+        loc = rng.uniform(-10, 60, 3)
+        ry = float(rng.uniform(-np.pi, np.pi))
+        lines.append(f'{nm} {trunc:.2f} {occ} {alpha:.2f} '
+                     f'{x1:.2f} {y1:.2f} {x2:.2f} {y2:.2f} '
+                     f'{h:.2f} {w:.2f} {l:.2f} '
+                     f'{loc[0]:.2f} {loc[1]:.2f} {loc[2]:.2f} {ry:.2f}')
+
+    for line in lines:
+        r = ref_obj3d.Object3d(line)
+        o = Object3d(line)
+        assert o.cls_type == r.cls_type
+        assert o.truncation == r.truncation
+        assert o.occlusion == r.occlusion
+        assert o.alpha == r.alpha
+        np.testing.assert_array_equal(o.box2d, r.box2d)
+        assert (o.h, o.w, o.l) == (r.h, r.w, r.l)
+        np.testing.assert_array_equal(o.loc, r.loc)
+        assert o.ry == r.ry
+        assert o.score == r.score
+        assert o.level == r.level, line
+        assert o.level_str == r.level_str
