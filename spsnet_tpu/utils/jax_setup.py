@@ -62,6 +62,13 @@ def maybe_init_distributed() -> bool:
 
 def setup_jax(cache_dir: str | None = None, distributed: bool = True):
     import jax
+    # SPSNET_PLATFORM=cpu pins the backend from the environment. On hosts
+    # with a device-plugin that overrides JAX_PLATFORMS (e.g. axon), this
+    # config update is the only way to force CPU for a CLI entry point
+    # (same recipe as tests/conftest.py).
+    platform = os.environ.get('SPSNET_PLATFORM')
+    if platform:
+        jax.config.update('jax_platforms', platform)
     if distributed:
         maybe_init_distributed()
     cache_dir = cache_dir or os.environ.get(
