@@ -20,6 +20,17 @@ class PointFeatureEncoder:
         data_dict['points'], use_lead_xyz = getattr(
             self, self.point_encoding_config.encoding_type)(data_dict['points'])
         data_dict['use_lead_xyz'] = use_lead_xyz
+        if self.point_encoding_config.get('filter_sweeps', False) and \
+                'timestamp' in self.src_feature_list:
+            # keep only the max_sweeps most-recent sweep timestamps
+            # (reference ``point_feature_encoder.py:34-39``; unused by
+            # shipped configs but part of the config surface)
+            max_sweeps = self.point_encoding_config.max_sweeps
+            idx = self.src_feature_list.index('timestamp')
+            dt = np.round(data_dict['points'][:, idx], 2)
+            uniq = sorted(np.unique(dt))
+            max_dt = uniq[min(len(uniq) - 1, max_sweeps - 1)]
+            data_dict['points'] = data_dict['points'][dt <= max_dt]
         return data_dict
 
     def absolute_coordinates_encoding(self, points=None):

@@ -556,3 +556,36 @@ def test_object3d_label_parsing_matches_reference():
         assert o.score == r.score
         assert o.level == r.level, line
         assert o.level_str == r.level_str
+
+
+def test_point_feature_encoder_matches_reference():
+    """Feature selection + the filter_sweeps branch vs the reference
+    (``processor/point_feature_encoder.py``)."""
+    import importlib
+    from types import SimpleNamespace
+    _stub_ref_datasets_pkgs()
+    ref_mod = importlib.import_module(
+        'pcdet.datasets.processor.point_feature_encoder')
+    from spsnet_tpu.data.processor.point_feature_encoder import (
+        PointFeatureEncoder)
+
+    class _Cfg(SimpleNamespace):
+        def get(self, k, d=None):
+            return getattr(self, k, d)
+
+    cfg = _Cfg(encoding_type='absolute_coordinates_encoding',
+               used_feature_list=['x', 'y', 'z', 'intensity', 'timestamp'],
+               src_feature_list=['x', 'y', 'z', 'intensity', 'timestamp'],
+               filter_sweeps=True, max_sweeps=3)
+    rng = np.random.default_rng(21)
+    pts = np.zeros((2048, 5), dtype=np.float32)
+    pts[:, :4] = rng.uniform(-1, 1, (2048, 4))
+    pts[:, 4] = rng.choice([0.0, 0.05, 0.1, 0.15, 0.2], 2048)
+
+    ours = PointFeatureEncoder(cfg)
+    ref = ref_mod.PointFeatureEncoder(cfg)
+    od = ours.forward({'points': pts.copy()})
+    rd = ref.forward({'points': pts.copy()})
+    np.testing.assert_array_equal(od['points'], rd['points'])
+    assert od['use_lead_xyz'] == rd['use_lead_xyz']
+    assert ours.num_point_features == ref.num_point_features == 5
