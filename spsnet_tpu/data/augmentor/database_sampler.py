@@ -83,11 +83,34 @@ class DataBaseSampler:
         sample_group['indices'] = indices
         return sampled
 
+    @staticmethod
+    def put_boxes_on_road_planes(gt_boxes, road_plane, calib):
+        """Snap sampled boxes' bottoms to the rect-frame ground plane
+        (``database_sampler.py:137-154``). Returns (boxes, mv_height)."""
+        a, b, c, d = road_plane
+        center_cam = calib.lidar_to_rect(gt_boxes[:, 0:3])
+        cur_height_cam = (-d - a * center_cam[:, 0] - c * center_cam[:, 2]) / b
+        center_cam[:, 1] = cur_height_cam
+        cur_lidar_height = calib.rect_to_lidar(center_cam)[:, 2]
+        mv_height = gt_boxes[:, 2] - gt_boxes[:, 5] / 2 - cur_lidar_height
+        gt_boxes[:, 2] -= mv_height
+        return gt_boxes, mv_height
+
     def add_sampled_boxes_to_scene(self, data_dict, sampled_gt_boxes,
                                    total_valid_sampled_dict):
         gt_boxes = data_dict['gt_boxes']
         gt_names = data_dict['gt_names']
         points = data_dict['points']
+
+        use_road_plane = (self.sampler_cfg.get('USE_ROAD_PLANE', False)
+                          and data_dict.get('road_plane') is not None
+                          and data_dict.get('calib') is not None)
+        # deviation from the reference (which KeyErrors): USE_ROAD_PLANE
+        # degrades to no-snap when the optional planes/ data is absent
+        if use_road_plane:
+            sampled_gt_boxes, mv_height = self.put_boxes_on_road_planes(
+                sampled_gt_boxes, data_dict['road_plane'], data_dict['calib'])
+            data_dict.pop('road_plane', None)
 
         obj_points_list = []
         kept_mask = np.ones(len(total_valid_sampled_dict), dtype=bool)
@@ -99,6 +122,8 @@ class DataBaseSampler:
             obj_points = np.fromfile(str(file_path), dtype=np.float32).reshape(
                 [-1, self.sampler_cfg.NUM_POINT_FEATURES])
             obj_points[:, :3] += info['box3d_lidar'][:3]
+            if use_road_plane:
+                obj_points[:, 2] -= mv_height[idx]
             obj_points_list.append(obj_points)
         sampled_gt_boxes = sampled_gt_boxes[kept_mask]
         total_valid_sampled_dict = [d for d, k in
@@ -109,9 +134,14 @@ class DataBaseSampler:
         obj_points = np.concatenate(obj_points_list, axis=0)
         sampled_gt_names = np.array([x['name'] for x in total_valid_sampled_dict])
 
-        # carve out scene points inside the sampled boxes (first-hit native
-        # kernel: no (T, N) indicator materialized)
-        first_box = points_first_box_np(points[:, :3], sampled_gt_boxes[:, :7])
+        # carve out scene points inside the sampled boxes, enlarged by
+        # REMOVE_EXTRA_WIDTH (``database_sampler.py:195-198``); first-hit
+        # native kernel: no (T, N) indicator materialized
+        carve_boxes = sampled_gt_boxes[:, :7].copy()
+        extra = np.asarray(self.sampler_cfg.get(
+            'REMOVE_EXTRA_WIDTH', [0.0, 0.0, 0.0]), dtype=carve_boxes.dtype)
+        carve_boxes[:, 3:6] += extra
+        first_box = points_first_box_np(points[:, :3], carve_boxes)
         points = points[first_box < 0]
 
         data_dict['points'] = np.concatenate([obj_points, points], axis=0)

@@ -128,6 +128,19 @@ class KittiDataset(DatasetTemplate):
             return len(self.kitti_infos) * getattr(self, 'total_epochs', 1)
         return len(self.kitti_infos)
 
+    def get_road_plane(self, idx):
+        """Rect-frame ground plane [a, b, c, d] from planes/<idx>.txt
+        (``kitti_dataset.py:113-129``); None when the optional planes data
+        is absent."""
+        plane_file = self.root_split_path / 'planes' / f'{idx}.txt'
+        if not plane_file.exists():
+            return None
+        lines = plane_file.read_text().splitlines()
+        plane = np.asarray([float(i) for i in lines[3].split()])
+        if plane[1] > 0:      # normal always facing up (camera y is down)
+            plane = -plane
+        return plane / np.linalg.norm(plane[0:3])
+
     def __getitem__(self, index):
         if self._merge_all_iters_to_one_epoch:
             index = index % len(self.kitti_infos)
@@ -160,6 +173,10 @@ class KittiDataset(DatasetTemplate):
                 fov_flag = self.get_fov_flag_lidar(points, img_shape, calib)
                 points = points[fov_flag]
             input_dict['points'] = points
+        if self.dataset_cfg.get('USE_ROAD_PLANE', False):
+            road_plane = self.get_road_plane(sample_idx)
+            if road_plane is not None:
+                input_dict['road_plane'] = road_plane
         if 'images' in get_item_list:
             input_dict['images'] = self.get_image(sample_idx)
         if 'depth_maps' in get_item_list:

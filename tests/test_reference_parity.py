@@ -589,3 +589,38 @@ def test_point_feature_encoder_matches_reference():
     np.testing.assert_array_equal(od['points'], rd['points'])
     assert od['use_lead_xyz'] == rd['use_lead_xyz']
     assert ours.num_point_features == ref.num_point_features == 5
+
+
+def test_put_boxes_on_road_planes_matches_reference():
+    """Road-plane snap math vs the reference's own staticmethod
+    (``database_sampler.py:137-154``)."""
+    import importlib
+    _stub_ref_datasets_pkgs()
+    ref_ds = importlib.import_module(
+        'pcdet.datasets.augmentor.database_sampler')
+    from spsnet_tpu.data.augmentor.database_sampler import DataBaseSampler
+
+    ours_c, ref_c, rng = _both_calibs()
+    boxes = np.zeros((12, 7), dtype=np.float64)
+    boxes[:, 0] = rng.uniform(5, 60, 12)
+    boxes[:, 1] = rng.uniform(-20, 20, 12)
+    boxes[:, 2] = rng.uniform(-1.4, -0.4, 12)
+    boxes[:, 3:6] = rng.uniform(0.5, 4.5, (12, 3))
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, 12)
+    plane = np.array([0.02, -0.999, 0.01, 1.65])
+    plane = plane / np.linalg.norm(plane[:3])
+
+    rb, rmv = ref_ds.DataBaseSampler.put_boxes_on_road_planes(
+        boxes.copy(), plane, ref_c)
+    ob, omv = DataBaseSampler.put_boxes_on_road_planes(
+        boxes.copy(), plane, ours_c)
+    np.testing.assert_allclose(ob, np.asarray(rb), atol=1e-4)
+    np.testing.assert_allclose(omv, np.asarray(rmv), atol=1e-4)
+    # snapped bottoms sit on the plane (rect frame): residual ~0
+    center_cam = ours_c.lidar_to_rect(ob[:, 0:3].astype(np.float32))
+    bottom_cam_y = ours_c.lidar_to_rect(
+        np.stack([ob[:, 0], ob[:, 1], ob[:, 2] - ob[:, 5] / 2],
+                 1).astype(np.float32))[:, 1]
+    a, b, c, d = plane
+    plane_y = (-d - a * center_cam[:, 0] - c * center_cam[:, 2]) / b
+    np.testing.assert_allclose(bottom_cam_y, plane_y, atol=1e-2)
