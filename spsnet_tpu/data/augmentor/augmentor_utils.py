@@ -119,17 +119,35 @@ def random_world_translation(gt_boxes, points, noise_std,
     return gt_boxes, points
 
 
+def get_points_in_box(points, gt_box):
+    """Reference-exact in-box mask for the LOCAL aug family
+    (``augmentor_utils.py:549-566``): 1e-1 xy margin, inclusive bounds.
+    Returns (points_in_box, mask) like the reference."""
+    shift = points[:, :3] - gt_box[:3]
+    cosa, sina = np.cos(-gt_box[6]), np.sin(-gt_box[6])
+    local_x = shift[:, 0] * cosa - shift[:, 1] * sina
+    local_y = shift[:, 0] * sina + shift[:, 1] * cosa
+    MARGIN = 1e-1
+    mask = ((np.abs(shift[:, 2]) <= gt_box[5] / 2.0) &
+            (np.abs(local_x) <= gt_box[3] / 2.0 + MARGIN) &
+            (np.abs(local_y) <= gt_box[4] / 2.0 + MARGIN))
+    return points[mask], mask
+
+
 def random_local_translation(gt_boxes, points, offset_range, along=('x', 'y', 'z')):
-    """Per-gt-box random translation of the box and its points
-    (parity: ``augmentor_utils.random_local_translation_along_*``)."""
+    """Per-gt-box random translation of the box and its points. Loop order
+    mirrors the reference exactly — OUTER loop over axes, inner over boxes,
+    mask recomputed per (axis, box) (``data_augmentor.py:158-173`` +
+    ``augmentor_utils.random_local_translation_along_*:253-318``) — so
+    seeded RNG streams and mask drift after each axis are identical."""
     axis_idx = {'x': 0, 'y': 1, 'z': 2}
     gt_boxes = gt_boxes.copy()
     points = points.copy()
-    for i, box in enumerate(gt_boxes):
-        mask = _points_in_box_mask(points, box[:7])
-        for ax in along:
+    for ax in along:
+        j = axis_idx[ax]
+        for i, box in enumerate(gt_boxes):
             off = np.random.uniform(offset_range[0], offset_range[1])
-            j = axis_idx[ax]
+            _, mask = get_points_in_box(points, box)
             points[mask, j] += off
             gt_boxes[i, j] += off
     return gt_boxes, points
@@ -137,12 +155,15 @@ def random_local_translation(gt_boxes, points, offset_range, along=('x', 'y', 'z
 
 def random_local_rotation(gt_boxes, points, rot_range):
     """Per-gt-box rotation about the box center
-    (parity: ``augmentor_utils.local_rotation``)."""
+    (parity: ``augmentor_utils.local_rotation:420-466``; the reference's
+    velocity-column rotation there is unreachable — it hstacks a (2,) row
+    with an (N, 1) column and would crash — so 9-dim boxes keep their
+    velocity, documented deviation)."""
     gt_boxes = gt_boxes.copy()
     points = points.copy()
     for i, box in enumerate(gt_boxes):
         angle = np.random.uniform(rot_range[0], rot_range[1])
-        mask = _points_in_box_mask(points, box[:7])
+        _, mask = get_points_in_box(points, box)
         ctr = box[:3].copy()
         local = points[mask, :3] - ctr
         points[mask, :3] = rotate_points_along_z_np(
@@ -153,17 +174,38 @@ def random_local_rotation(gt_boxes, points, rot_range):
 
 def random_local_scaling(gt_boxes, points, scale_range):
     """Per-gt-box scaling about the box center
-    (parity: ``augmentor_utils.local_scaling``)."""
+    (parity: ``augmentor_utils.local_scaling:386-417``)."""
     if scale_range[1] - scale_range[0] < 1e-3:
         return gt_boxes, points
     gt_boxes = gt_boxes.copy()
     points = points.copy()
     for i, box in enumerate(gt_boxes):
         scale = np.random.uniform(scale_range[0], scale_range[1])
-        mask = _points_in_box_mask(points, box[:7])
+        _, mask = get_points_in_box(points, box)
         ctr = box[:3]
         points[mask, :3] = (points[mask, :3] - ctr) * scale + ctr
         gt_boxes[i, 3:6] *= scale
+    return gt_boxes, points
+
+
+def local_frustum_dropout(gt_boxes, points, intensity_range, direction='top'):
+    """Per-gt-box frustum dropout (parity:
+    ``augmentor_utils.local_frustum_dropout_{top,bottom,left,right}:469-546``):
+    for each box, drop its points beyond a random fraction of the box
+    extent along the chosen face."""
+    axis, lo_sign = {'top': (2, 1), 'bottom': (2, -1),
+                     'left': (1, 1), 'right': (1, -1)}[direction]
+    for box in gt_boxes:
+        c, d = box[axis], box[3 + axis]
+        intensity = np.random.uniform(intensity_range[0], intensity_range[1])
+        _, mask = get_points_in_box(points, box)
+        if lo_sign > 0:
+            threshold = (c + d / 2) - intensity * d
+            drop = mask & (points[:, axis] >= threshold)
+        else:
+            threshold = (c - d / 2) + intensity * d
+            drop = mask & (points[:, axis] <= threshold)
+        points = points[~drop]
     return gt_boxes, points
 
 

@@ -75,7 +75,15 @@ class DataAugmentor:
     def random_world_translation(self, data_dict=None, config=None):
         if data_dict is None:
             return partial(self.random_world_translation, config=config)
-        std = float(config.NOISE_TRANSLATE_STD)
+        # the reference handler reads NOISE_TRANSLATE_STD only, yet its
+        # pointpillar_newaugs.yaml supplies WORLD_TRANSLATION_RANGE — a
+        # latent KeyError in the reference (data_augmentor.py:145). Resolve
+        # by accepting either: a range falls back to std = max |bound|.
+        std = config.get('NOISE_TRANSLATE_STD', None)
+        if std is None:
+            rng_cfg = config.get('WORLD_TRANSLATION_RANGE', [0.0, 0.0])
+            std = float(np.max(np.abs(rng_cfg)))
+        std = float(std)
         if std == 0:
             return data_dict
         gt_boxes, points = augmentor_utils.random_world_translation(
@@ -142,6 +150,18 @@ class DataAugmentor:
             data_dict['gt_boxes'], data_dict['points'],
             config.DROP_PROB, config.SPARSIFY_PROB, config.SPARSIFY_MAX_NUM,
             config.SWAP_PROB, config.SWAP_MAX_NUM)
+        data_dict['gt_boxes'] = gt_boxes
+        data_dict['points'] = points
+        return data_dict
+
+    def random_local_frustum_dropout(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.random_local_frustum_dropout, config=config)
+        gt_boxes, points = data_dict['gt_boxes'], data_dict['points']
+        for direction in config.get('DIRECTION', ['top']):
+            assert direction in ('top', 'bottom', 'left', 'right')
+            gt_boxes, points = augmentor_utils.local_frustum_dropout(
+                gt_boxes, points, config.INTENSITY_RANGE, direction=direction)
         data_dict['gt_boxes'] = gt_boxes
         data_dict['points'] = points
         return data_dict

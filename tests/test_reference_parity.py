@@ -624,3 +624,74 @@ def test_put_boxes_on_road_planes_matches_reference():
     a, b, c, d = plane
     plane_y = (-d - a * center_cam[:, 0] - c * center_cam[:, 2]) / b
     np.testing.assert_allclose(bottom_cam_y, plane_y, atol=1e-2)
+
+
+def test_local_augs_match_reference():
+    """Per-box local translation / rotation / scaling / frustum dropout and
+    per-axis world translation under one np.random seed vs the reference
+    (``augmentor_utils.py:199-546``): identical RNG streams (post-chain
+    probe) and matching outputs. Pins the 1e-1 in-box MARGIN, inclusive
+    bounds, and the axis-outer/box-inner loop order of
+    ``random_local_translation_along_*``."""
+    import importlib
+    _stub_ref_datasets_pkgs()
+    ref_au = importlib.import_module(
+        'pcdet.datasets.augmentor.augmentor_utils')
+    from spsnet_tpu.data.augmentor import augmentor_utils as our_au
+
+    rng = np.random.default_rng(9)
+    n = 6000
+    pts = np.zeros((n, 4), dtype=np.float64)
+    pts[:, 0] = rng.uniform(0, 70, n)
+    pts[:, 1] = rng.uniform(-40, 40, n)
+    pts[:, 2] = rng.uniform(-2.5, 1.0, n)
+    boxes = np.zeros((7, 7), dtype=np.float64)
+    boxes[:, 0] = np.linspace(8, 60, 7)
+    boxes[:, 1] = rng.uniform(-20, 20, 7)
+    boxes[:, 2] = rng.uniform(-1.5, 0, 7)
+    boxes[:, 3:6] = rng.uniform(1.0, 4.5, (7, 3))
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, 7)
+    # drop some points inside the boxes so the masks are non-trivial
+    for b in boxes:
+        m = int(rng.integers(40, 120))
+        local = rng.uniform(-0.5, 0.5, (m, 3)) * b[3:6]
+        c, s = np.cos(b[6]), np.sin(b[6])
+        world = np.stack([local[:, 0] * c - local[:, 1] * s + b[0],
+                          local[:, 0] * s + local[:, 1] * c + b[1],
+                          local[:, 2] + b[2]], 1)
+        pts[rng.integers(0, n, m), :3] = world
+
+    def run_ref(seed):
+        np.random.seed(seed)
+        b, p = boxes.copy(), pts.copy()
+        for ax in ['x', 'y', 'z']:
+            b, p = getattr(ref_au, f'random_translation_along_{ax}')(b, p, 0.2)
+        for ax in ['x', 'y', 'z']:
+            b, p = getattr(ref_au,
+                           f'random_local_translation_along_{ax}')(
+                b, p, [0.95, 1.05])
+        b, p = ref_au.local_rotation(b, p, [-0.157, 0.157])
+        b, p = ref_au.local_scaling(b, p, [0.9, 1.1])
+        b, p = ref_au.global_frustum_dropout_top(b, p, [0.0, 0.2])
+        b, p = ref_au.local_frustum_dropout_top(b, p, [0.0, 0.2])
+        return b, p, np.random.uniform()
+
+    def run_ours(seed):
+        np.random.seed(seed)
+        b, p = our_au.random_world_translation(boxes.copy(), pts.copy(), 0.2)
+        b, p = our_au.random_local_translation(b, p, [0.95, 1.05])
+        b, p = our_au.random_local_rotation(b, p, [-0.157, 0.157])
+        b, p = our_au.random_local_scaling(b, p, [0.9, 1.1])
+        b, p = our_au.global_frustum_dropout(b, p, [0.0, 0.2], 'top')
+        b, p = our_au.local_frustum_dropout(b, p, [0.0, 0.2], 'top')
+        return b, p, np.random.uniform()
+
+    for seed in (0, 5, 2024):
+        rb, rp, rprobe = run_ref(seed)
+        ob, op, oprobe = run_ours(seed)
+        assert oprobe == rprobe, (seed, 'RNG stream diverged')
+        assert op.shape == rp.shape, seed
+        np.testing.assert_allclose(ob, np.asarray(rb), atol=1e-9)
+        # points tolerate f32 rounding: the reference's local_rotation goes
+        # through torch float32 rotate_points_along_z, ours stays float64
+        np.testing.assert_allclose(op, np.asarray(rp), atol=1e-4)
