@@ -243,7 +243,11 @@ def test_cli_roundtrip(tmp_path, imported):
          '--pth', str(pth), '--out', str(out_dir),
          '--num_points', '512'],
         capture_output=True, text=True, cwd='/root/repo',
-        env={**__import__('os').environ, 'JAX_PLATFORMS': 'cpu'})
+        # SPSNET_PLATFORM pins via jax.config inside setup_jax — the axon
+        # plugin IGNORES the JAX_PLATFORMS env var, so that alone would let
+        # this subprocess grab (or hang on) the real TPU mid-suite
+        env={**__import__('os').environ, 'JAX_PLATFORMS': 'cpu',
+             'SPSNET_PLATFORM': 'cpu'})
     if r.returncode != 0:
         print(r.stdout[-2000:])
         print(r.stderr[-2000:])
