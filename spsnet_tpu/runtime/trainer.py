@@ -212,39 +212,75 @@ class Trainer:
     def train(self, train_loader, sampler=None, start_epoch=0, state=None,
               log_every=50):
         assert state is not None, 'call init_state first'
+        import signal
         from .metrics import AverageMeter, MetricsLogger
         mlog = MetricsLogger(self.output_dir / 'metrics')
         data_timer, batch_timer = AverageMeter(), AverageMeter()
         global_step = int(start_epoch) * (self.total_iters_each_epoch or 0)
-        for epoch in range(start_epoch, self.total_epochs):
-            if sampler is not None:
-                sampler.set_epoch(epoch)
-            t0 = time.time()
-            n_iter = 0
-            t_iter = time.time()
-            for batch in train_loader:
-                data_timer.update(time.time() - t_iter)
-                db = shard_batch(device_batch(batch), self.mesh)
-                state, metrics = self.train_step(state, db)
-                n_iter += 1
-                global_step += 1
-                batch_timer.update(time.time() - t_iter)
-                t_iter = time.time()
-                if n_iter % log_every == 0:
-                    scalars = {k: float(v) for k, v in metrics.items()}
-                    scalars['time/data_avg'] = data_timer.avg
-                    scalars['time/batch_avg'] = batch_timer.avg
-                    mlog.log_scalars(global_step, scalars, prefix='train/')
-                    if self.logger:
-                        self.logger.info(
-                            'epoch %d iter %d loss %.4f (%.2f it/s)', epoch,
-                            n_iter, scalars['loss'],
-                            n_iter / (time.time() - t0))
-            if jax.process_index() == 0:
-                self.ckpt.save(epoch + 1, jax.device_get(state))
+
+        # Preemption safety (beyond the reference, which loses the epoch in
+        # progress): SIGTERM/SIGUSR1 — what preemptible TPU pods and SLURM
+        # send before eviction — requests a graceful stop; the loop then
+        # checkpoints at the next step boundary and returns. Auto-resume
+        # redoes the interrupted epoch (epoch-granular semantics preserved).
+        preempt = {'hit': False}
+
+        def _on_preempt(signum, frame):
+            preempt['hit'] = True
+
+        saved_handlers = []
+        for sig in (signal.SIGTERM, signal.SIGUSR1):
+            try:
+                saved_handlers.append((sig, signal.signal(sig, _on_preempt)))
+            except (ValueError, OSError):
+                pass   # not the main thread (e.g. under a test harness)
+
+        def _preempt_save(epoch):
+            if jax.process_index() == 0 and \
+                    epoch not in set(self.ckpt.all_steps()):
+                self.ckpt.save(epoch, jax.device_get(state))
             if self.logger:
-                self.logger.info('epoch %d done in %.1fs', epoch,
-                                 time.time() - t0)
+                self.logger.info(
+                    'preemption signal: checkpoint at epoch %d saved, '
+                    'exiting cleanly (resume redoes this epoch)', epoch)
+
+        try:
+            for epoch in range(start_epoch, self.total_epochs):
+                if sampler is not None:
+                    sampler.set_epoch(epoch)
+                t0 = time.time()
+                n_iter = 0
+                t_iter = time.time()
+                for batch in train_loader:
+                    data_timer.update(time.time() - t_iter)
+                    db = shard_batch(device_batch(batch), self.mesh)
+                    state, metrics = self.train_step(state, db)
+                    n_iter += 1
+                    global_step += 1
+                    batch_timer.update(time.time() - t_iter)
+                    t_iter = time.time()
+                    if preempt['hit']:
+                        _preempt_save(epoch)
+                        mlog.close()
+                        return state
+                    if n_iter % log_every == 0:
+                        scalars = {k: float(v) for k, v in metrics.items()}
+                        scalars['time/data_avg'] = data_timer.avg
+                        scalars['time/batch_avg'] = batch_timer.avg
+                        mlog.log_scalars(global_step, scalars, prefix='train/')
+                        if self.logger:
+                            self.logger.info(
+                                'epoch %d iter %d loss %.4f (%.2f it/s)',
+                                epoch, n_iter, scalars['loss'],
+                                n_iter / (time.time() - t0))
+                if jax.process_index() == 0:
+                    self.ckpt.save(epoch + 1, jax.device_get(state))
+                if self.logger:
+                    self.logger.info('epoch %d done in %.1fs', epoch,
+                                     time.time() - t0)
+        finally:
+            for sig, handler in saved_handlers:
+                signal.signal(sig, handler)
         mlog.close()
         return state
 

@@ -111,3 +111,51 @@ def test_recall_dedup_and_finalize():
     rec = Trainer._finalize_recall(deduped)
     assert rec == {'gt': 4, 'roi_0.5': 3}
     assert all('_recall' not in a for a in deduped)
+
+
+@pytest.mark.slow
+def test_preemption_signal_checkpoints_and_resumes(tmp_path):
+    """SIGUSR1 mid-epoch -> train() checkpoints at the current epoch and
+    returns; auto-resume restores and redoes the interrupted epoch."""
+    import os
+    import signal
+
+    cfg = full_cfg()
+    cfg.OPTIMIZATION.NUM_EPOCHS = 50   # would run long without the signal
+    model = build_detector(cfg.MODEL, num_class=3)
+    mesh = make_mesh()
+    trainer = Trainer(cfg, model, tmp_path, total_iters_each_epoch=4,
+                      mesh=mesh)
+
+    class SignalingLoader(FakeLoader):
+        """Raises the preemption signal after the 2nd batch of epoch 0."""
+        def __init__(self):
+            super().__init__(4, 8)
+            self.count = 0
+
+        def __iter__(self):
+            for batch in super().__iter__():
+                self.count += 1
+                if self.count == 2:
+                    os.kill(os.getpid(), signal.SIGUSR1)
+                yield batch
+
+    loader = SignalingLoader()
+    state = trainer.init_state(next(iter(FakeLoader(1, 8))))
+    state = trainer.train(loader, state=state)
+    # stopped after the signal was handled, not after 50 epochs
+    assert loader.count <= 3
+    assert int(state.step) == loader.count
+
+    # checkpoint for the interrupted epoch (0) is on disk and restorable
+    assert trainer.ckpt.latest_step() == 0
+    template = jax.device_get(state)
+    restored, step = trainer.ckpt.restore(template)
+    assert step == 0
+    # resume: one full epoch from the restored state completes and saves
+    trainer2 = Trainer(cfg, model, tmp_path, total_iters_each_epoch=4,
+                       mesh=mesh)
+    trainer2.total_epochs = 1
+    out = trainer2.train(FakeLoader(2, 8), state=trainer.init_state(
+        next(iter(FakeLoader(1, 8)))), start_epoch=0)
+    assert trainer2.ckpt.latest_step() == 1
