@@ -33,7 +33,12 @@ def gaussian_radius(height, width, min_overlap=0.1):
     a3 = 4 * min_overlap
     b3 = -2 * min_overlap * (height + width)
     c3 = (min_overlap - 1) * width * height
-    r3 = (b3 + jnp.sqrt(jnp.clip(b3 ** 2 - 4 * a3 * c3, 0, None))) / (2 * a3)
+    # /2, NOT /(2*a3): the reference (inherited from CornerNet) divides the
+    # third root by 2 regardless of a3 (``centernet_utils.py:30-33``) —
+    # mathematically off by 1/a3 but it IS the radius trained checkpoints
+    # saw; replicate the quirk (caught by test_reference_parity's
+    # center-target cross-check)
+    r3 = (b3 + jnp.sqrt(jnp.clip(b3 ** 2 - 4 * a3 * c3, 0, None))) / 2
     return jnp.minimum(jnp.minimum(r1, r2), r3)
 
 

@@ -754,3 +754,61 @@ def test_pyramid_augs_match_reference():
         # and sparsify are bit-exact; swap differs by <4e-6)
         np.testing.assert_allclose(row_sorted(op), row_sorted(np.asarray(rp)),
                                    atol=1e-5)
+
+
+def test_center_head_targets_match_reference():
+    """CenterPoint gaussian heatmap targets vs the reference's own
+    ``assign_target_of_single_head`` (``center_head.py:103-157``) run
+    unbound on CPU torch. Caught a real quirk: the reference's third
+    gaussian_radius root divides by 2, not 2*a3 (CornerNet lineage)."""
+    import importlib
+    import sys
+    import types
+    from tests.reference_loader import REFERENCE_ROOT
+    for pkg, path in [
+        ('pcdet.models', f'{REFERENCE_ROOT}/pcdet/models'),
+        ('pcdet.models.dense_heads',
+         f'{REFERENCE_ROOT}/pcdet/models/dense_heads'),
+        ('pcdet.models.model_utils',
+         f'{REFERENCE_ROOT}/pcdet/models/model_utils'),
+    ]:
+        mod = sys.modules.setdefault(pkg, types.ModuleType(pkg))
+        mod.__path__ = [path]
+    ref_ch = importlib.import_module('pcdet.models.dense_heads.center_head')
+
+    from spsnet_tpu.models.dense_heads.center_head import (
+        assign_center_targets)
+
+    pcr = np.array([0, -40.0, -3, 70.4, 40.0, 1], dtype=np.float32)
+    voxel = [0.05, 0.05, 0.1]
+    W, H, stride = 176, 200, 8
+    rng = np.random.default_rng(31)
+    T = 12
+    gt = np.zeros((T, 8), dtype=np.float32)
+    gt[:, 0] = rng.uniform(2, 68, T)
+    gt[:, 1] = rng.uniform(-38, 38, T)
+    gt[:, 2] = rng.uniform(-1.5, 0, T)
+    gt[:, 3:6] = rng.uniform(0.5, 4.5, (T, 3))
+    gt[:, 6] = rng.uniform(-np.pi, np.pi, T)
+    gt[:, 7] = rng.integers(1, 4, T)
+    gt[8:] = 0.0   # zero padding rows, as collate produces
+
+    class _Duck:
+        point_cloud_range = torch.tensor(pcr)
+        voxel_size = voxel
+
+    rhm, rboxes, rinds, rmask = ref_ch.CenterHead.assign_target_of_single_head(
+        _Duck(), 3, torch.tensor(gt), [W, H], stride,
+        num_max_objs=24, gaussian_overlap=0.1, min_radius=2)
+
+    ohm, oboxes, oinds, omask, _ = assign_center_targets(
+        jnp.asarray(gt), 3, (W, H), stride, voxel, pcr,
+        num_max_objs=24, gaussian_overlap=0.1, min_radius=2)
+
+    np.testing.assert_array_equal(np.asarray(omask)[:T],
+                                  rmask.numpy()[:T])
+    m = rmask.numpy().astype(bool)
+    np.testing.assert_array_equal(np.asarray(oinds)[m], rinds.numpy()[m])
+    np.testing.assert_allclose(np.asarray(oboxes)[m], rboxes.numpy()[m],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ohm), rhm.numpy(), atol=1e-5)
