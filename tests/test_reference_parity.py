@@ -812,3 +812,112 @@ def test_center_head_targets_match_reference():
     np.testing.assert_allclose(np.asarray(oboxes)[m], rboxes.numpy()[m],
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(ohm), rhm.numpy(), atol=1e-5)
+
+
+def test_anchor_target_assignment_matches_reference():
+    """Full anchor target assignment (labels / reg targets / reg weights)
+    vs the reference's AxisAlignedTargetAssigner run on CPU torch with its
+    own AnchorGenerator + ResidualCoder (``axis_aligned_target_assigner.py``):
+    per-class matched/unmatched thresholds, force-matching of each gt's
+    best anchor (incl. the zero-overlap sentinel), and encode parity."""
+    import importlib
+    import sys
+    import types
+    from tests.reference_loader import REFERENCE_ROOT
+    for pkg, path in [
+        ('pcdet.models', f'{REFERENCE_ROOT}/pcdet/models'),
+        ('pcdet.models.dense_heads',
+         f'{REFERENCE_ROOT}/pcdet/models/dense_heads'),
+        ('pcdet.models.dense_heads.target_assigner',
+         f'{REFERENCE_ROOT}/pcdet/models/dense_heads/target_assigner'),
+    ]:
+        mod = sys.modules.setdefault(pkg, types.ModuleType(pkg))
+        mod.__path__ = [path]
+    ref_assigner_mod = importlib.import_module(
+        'pcdet.models.dense_heads.target_assigner.'
+        'axis_aligned_target_assigner')
+    from spsnet_tpu.models.dense_heads.anchor_head import (
+        assign_anchor_targets, generate_anchors)
+    from spsnet_tpu.utils import box_coder as our_coders
+
+    class _AttrDict(dict):
+        __getattr__ = dict.__getitem__
+
+        def get(self, k, d=None):
+            return super().get(k, d)
+
+    pcr = [0.0, -39.68, -3.0, 69.12, 39.68, 1.0]
+    grid_size = [176, 200]        # small grid: stride 2 -> 88x100 map
+    stride = 2
+    agc = [
+        {'class_name': 'Car', 'anchor_sizes': [[3.9, 1.6, 1.56]],
+         'anchor_rotations': [0, 1.57], 'anchor_bottom_heights': [-1.78],
+         'align_center': False, 'feature_map_stride': stride,
+         'matched_threshold': 0.6, 'unmatched_threshold': 0.45},
+        {'class_name': 'Pedestrian', 'anchor_sizes': [[0.8, 0.6, 1.73]],
+         'anchor_rotations': [0, 1.57], 'anchor_bottom_heights': [-0.6],
+         'align_center': False, 'feature_map_stride': stride,
+         'matched_threshold': 0.5, 'unmatched_threshold': 0.35},
+        {'class_name': 'Cyclist', 'anchor_sizes': [[1.76, 0.6, 1.73]],
+         'anchor_rotations': [0, 1.57], 'anchor_bottom_heights': [-0.6],
+         'align_center': False, 'feature_map_stride': stride,
+         'matched_threshold': 0.5, 'unmatched_threshold': 0.35},
+    ]
+    class_names = ['Car', 'Pedestrian', 'Cyclist']
+    model_cfg = _AttrDict(
+        ANCHOR_GENERATOR_CONFIG=agc,
+        TARGET_ASSIGNER_CONFIG=_AttrDict(
+            POS_FRACTION=-1.0, SAMPLE_SIZE=512,
+            NORM_BY_NUM_EXAMPLES=False, MATCH_HEIGHT=False,
+            BOX_CODER='ResidualCoder'),
+    )
+    model_cfg['use_multihead'] = False
+
+    ref_coder = ref_coders.ResidualCoder()
+    ref_assigner = ref_assigner_mod.AxisAlignedTargetAssigner(
+        model_cfg, class_names, box_coder=ref_coder, match_height=False)
+
+    fmap = [grid_size[0] // stride, grid_size[1] // stride]
+    ref_gen = RefAnchorGenerator(pcr, agc)
+    ref_anchors, _ = ref_gen.generate_anchors([fmap for _ in agc])
+
+    # frames: normal gts, a gt overlapping nothing strongly, zero-padding
+    rng = np.random.default_rng(23)
+    B, T = 2, 10
+    gt = np.zeros((B, T, 8), dtype=np.float32)
+    sizes = {1: [3.9, 1.6, 1.56], 2: [0.8, 0.6, 1.73], 3: [1.76, 0.6, 1.73]}
+    for b in range(B):
+        n = 6 if b == 0 else 4
+        cls = rng.integers(1, 4, n)
+        for i, c in enumerate(cls):
+            gt[b, i, 0] = rng.uniform(2, 66)
+            gt[b, i, 1] = rng.uniform(-38, 38)
+            gt[b, i, 2] = rng.uniform(-1.2, -0.6)
+            gt[b, i, 3:6] = np.asarray(sizes[int(c)]) * rng.uniform(0.9, 1.1)
+            gt[b, i, 6] = rng.choice([0.0, 1.57]) + rng.normal(0, 0.15)
+            gt[b, i, 7] = c
+
+    ref_out = ref_assigner.assign_targets(
+        [a.float() for a in ref_anchors], torch.tensor(gt))
+
+    anchors, cls_ids, mthr, uthr = generate_anchors(agc, grid_size, pcr,
+                                                    stride)
+    flat = jnp.asarray(anchors).reshape(-1, 7)
+    our_coder = our_coders.build_box_coder('ResidualCoder')
+    labels_all, regs_all, w_all = [], [], []
+    for b in range(B):
+        lab, reg, w, _ = assign_anchor_targets(
+            flat, jnp.asarray(np.tile(cls_ids, fmap[1] * fmap[0])),
+            jnp.asarray(np.tile(mthr, fmap[1] * fmap[0])),
+            jnp.asarray(np.tile(uthr, fmap[1] * fmap[0])),
+            jnp.asarray(gt[b]), our_coder, 3)
+        labels_all.append(np.asarray(lab))
+        regs_all.append(np.asarray(reg))
+        w_all.append(np.asarray(w))
+
+    np.testing.assert_array_equal(np.stack(labels_all),
+                                  ref_out['box_cls_labels'].numpy())
+    np.testing.assert_allclose(np.stack(w_all),
+                               ref_out['reg_weights'].numpy(), atol=0)
+    np.testing.assert_allclose(np.stack(regs_all),
+                               ref_out['box_reg_targets'].numpy(), atol=1e-4)
