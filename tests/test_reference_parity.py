@@ -921,3 +921,125 @@ def test_anchor_target_assignment_matches_reference():
                                ref_out['reg_weights'].numpy(), atol=0)
     np.testing.assert_allclose(np.stack(regs_all),
                                ref_out['box_reg_targets'].numpy(), atol=1e-4)
+
+
+def test_iassd_target_assignment_matches_reference():
+    """The flagship's in-jit point-to-box target assignment
+    (``target_assign.assign_targets_iassd``) vs the reference's own
+    ``IASSD_Head.assign_stack_targets_IASSD`` (``IASSD_head.py:124-236``)
+    run duck-typed on CPU torch, its CUDA points_in_boxes_gpu patched with
+    a torch wrapper over our bit-parity-tested first-hit kernel. Covers
+    all three shipped variants: set_ignore_flag, use_ex_gt_assign, and
+    use_ex_gt_assign + fg_pc_ignore."""
+    import importlib
+    import sys
+    import types
+    from tests.reference_loader import REFERENCE_ROOT
+    for pkg, path in [
+        ('pcdet.models', f'{REFERENCE_ROOT}/pcdet/models'),
+        ('pcdet.models.dense_heads',
+         f'{REFERENCE_ROOT}/pcdet/models/dense_heads'),
+        ('pcdet.models.model_utils',
+         f'{REFERENCE_ROOT}/pcdet/models/model_utils'),
+    ]:
+        mod = sys.modules.setdefault(pkg, types.ModuleType(pkg))
+        mod.__path__ = [path]
+    ref_head_mod = importlib.import_module(
+        'pcdet.models.dense_heads.point_head_template') and \
+        importlib.import_module('pcdet.models.dense_heads.IASSD_head')
+
+    from spsnet_tpu.data.processor.data_processor import points_first_box_np
+    from spsnet_tpu.models.dense_heads.target_assign import (
+        assign_targets_iassd)
+    from spsnet_tpu.utils import box_coder as our_coders
+    from spsnet_tpu.utils import box_utils as our_box_utils
+
+    def _pib_gpu(points_t, boxes_t):
+        # (1, N, 3) x (1, T, 7) -> (1, N) first-hit idx or -1, like the
+        # CUDA kernel (same 1e-5 margin family as our native twin)
+        out = points_first_box_np(points_t[0].numpy(), boxes_t[0].numpy())
+        return torch.from_numpy(out[None]).long()
+
+    import pcdet.ops.roiaware_pool3d.roiaware_pool3d_utils as ref_pib
+    ref_pib.points_in_boxes_gpu = _pib_gpu
+
+    mean_size = [[3.9, 1.6, 1.56], [0.8, 0.6, 1.73], [1.76, 0.6, 1.73]]
+    ref_coder = ref_coders.PointResidual_BinOri_Coder(
+        code_size=30, use_mean_size=True, mean_size=mean_size)
+    our_coder = our_coders.build_box_coder(
+        'PointResidual_BinOri_Coder', angle_bin_num=12,
+        use_mean_size=True, mean_size=mean_size)
+
+    class _Duck:
+        num_class = 3
+        box_coder = ref_coder
+
+    RefHead = sys.modules['pcdet.models.dense_heads.IASSD_head'].IASSD_Head
+
+    rng = np.random.default_rng(3)
+    B, M, T = 2, 600, 9
+    pts = np.zeros((B, M, 3), dtype=np.float32)
+    pts[..., 0] = rng.uniform(0, 70, (B, M))
+    pts[..., 1] = rng.uniform(-40, 40, (B, M))
+    pts[..., 2] = rng.uniform(-2.5, 1, (B, M))
+    gt = np.zeros((B, T, 8), dtype=np.float32)
+    for b in range(B):
+        n = 6 if b == 0 else 4
+        gt[b, :n, 0] = rng.uniform(5, 60, n)
+        gt[b, :n, 1] = rng.uniform(-25, 25, n)
+        gt[b, :n, 2] = rng.uniform(-1.2, -0.5, n)
+        gt[b, :n, 3:6] = rng.uniform(1.0, 4.5, (n, 3))
+        gt[b, :n, 6] = rng.uniform(-np.pi, np.pi, n)
+        gt[b, :n, 7] = rng.integers(1, 4, n)
+        # drop clusters inside the boxes so fg sets are non-trivial
+        for i in range(n):
+            m = 25
+            local = rng.uniform(-0.45, 0.45, (m, 3)) * gt[b, i, 3:6]
+            c, s = np.cos(gt[b, i, 6]), np.sin(gt[b, i, 6])
+            world = np.stack([
+                local[:, 0] * c - local[:, 1] * s + gt[b, i, 0],
+                local[:, 0] * s + local[:, 1] * c + gt[b, i, 1],
+                local[:, 2] + gt[b, i, 2]], 1)
+            pts[b, rng.integers(0, M, m)] = world
+
+    stacked = np.concatenate([
+        np.concatenate([np.full((M, 1), b, np.float32), pts[b]], axis=1)
+        for b in range(B)], axis=0)
+    ext = np.asarray(our_box_utils.enlarge_box3d(
+        jnp.asarray(gt), [1.0, 1.0, 1.0]))
+
+    for mode in ('ignore', 'ex_gt', 'ex_gt_fg_ignore'):
+        kw_ref = dict(set_ignore_flag=False, use_ex_gt_assign=False,
+                      fg_pc_ignore=False, ret_box_labels=True)
+        kw_our = dict(set_ignore_flag=False, use_ex_gt_assign=False,
+                      fg_pc_ignore=False, ret_box_labels=True)
+        if mode == 'ignore':
+            kw_ref['set_ignore_flag'] = kw_our['set_ignore_flag'] = True
+        else:
+            kw_ref['use_ex_gt_assign'] = kw_our['use_ex_gt_assign'] = True
+            if mode == 'ex_gt_fg_ignore':
+                kw_ref['fg_pc_ignore'] = kw_our['fg_pc_ignore'] = True
+
+        ref_t = RefHead.assign_stack_targets_IASSD(
+            _Duck(), torch.tensor(stacked), torch.tensor(gt),
+            extend_gt_boxes=torch.tensor(ext), **kw_ref)
+        our_t = assign_targets_iassd(
+            jnp.asarray(pts), jnp.asarray(gt), jnp.asarray(ext),
+            box_coder=our_coder, num_class=3, **kw_our)
+
+        our_cls = np.asarray(our_t.cls_labels).reshape(-1)
+        np.testing.assert_array_equal(
+            our_cls, ref_t['point_cls_labels'].numpy(), err_msg=mode)
+        np.testing.assert_array_equal(
+            np.asarray(our_t.box_idxs).reshape(-1),
+            ref_t['box_idxs_labels'].numpy(), err_msg=mode)
+        fg = our_cls > 0
+        np.testing.assert_allclose(
+            np.asarray(our_t.gt_box_of_points).reshape(-1, 8)[fg],
+            ref_t['gt_box_of_points'].numpy()[fg], atol=1e-6, err_msg=mode)
+        our_bl = np.asarray(our_t.box_labels)
+        our_bl = our_bl.reshape(-1, our_bl.shape[-1])
+        assert our_bl.shape == tuple(ref_t['point_box_labels'].shape), mode
+        np.testing.assert_allclose(
+            our_bl[fg], ref_t['point_box_labels'].numpy()[fg],
+            atol=1e-4, err_msg=mode)
