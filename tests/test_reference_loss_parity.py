@@ -1,0 +1,253 @@
+"""WHOLE-LOSS parity for the flagship: our `iassd_head_loss` vs the
+reference's own `IASSD_Head.get_loss` (instantiated on CPU torch, CUDA
+points-in-boxes patched with our bit-parity first-hit kernel).
+
+Both sides consume the SAME synthetic forward outputs and gt boxes; targets
+are assigned by each side's own assignment path (already cross-verified in
+test_reference_parity). A matching total loss pins the entire training
+objective — vote loss, SA instance loss with centerness masking, center cls
+loss, bin-orientation box loss (incl. the reference's mean-times-sum
+quirk), and corner loss — so gradients agree up to autodiff.
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+from tests.reference_loader import (  # noqa: E402
+    REFERENCE_ROOT, load_reference_pcdet)
+
+load_reference_pcdet()
+
+import importlib  # noqa: E402
+import sys  # noqa: E402
+import types  # noqa: E402
+
+for _pkg, _path in [
+    ('pcdet.models', f'{REFERENCE_ROOT}/pcdet/models'),
+    ('pcdet.models.dense_heads', f'{REFERENCE_ROOT}/pcdet/models/dense_heads'),
+    ('pcdet.models.model_utils', f'{REFERENCE_ROOT}/pcdet/models/model_utils'),
+]:
+    _mod = sys.modules.setdefault(_pkg, types.ModuleType(_pkg))
+    _mod.__path__ = [_path]
+
+ref_head_mod = importlib.import_module('pcdet.models.dense_heads.IASSD_head')
+
+import jax.numpy as jnp  # noqa: E402
+
+from spsnet_tpu.config import EDict  # noqa: E402
+from spsnet_tpu.data.processor.data_processor import (  # noqa: E402
+    points_first_box_np)
+from spsnet_tpu.models.dense_heads import target_assign  # noqa: E402
+from spsnet_tpu.models.dense_heads.iassd_head import iassd_head_loss  # noqa: E402
+from spsnet_tpu.utils import box_coder as our_coders  # noqa: E402
+from spsnet_tpu.utils import box_utils as our_box_utils  # noqa: E402
+
+
+def _pib_gpu(points_t, boxes_t):
+    out = points_first_box_np(points_t[0].numpy(), boxes_t[0].numpy())
+    return torch.from_numpy(out[None]).long()
+
+
+MEAN_SIZE = [[3.9, 1.6, 1.56], [0.8, 0.6, 1.73], [1.76, 0.6, 1.73]]
+SAMPLE_METHODS = [['D-FPS'], ['D-FPS'], ['ctr_aware'], ['D-FPS']]
+
+
+def _head_cfg(vote_type='none'):
+    return EDict({
+        'CLS_FC': [16], 'REG_FC': [16],
+        'CLASS_AGNOSTIC': False,
+        'TARGET_CONFIG': {
+            'INS_AWARE_ASSIGN': True,
+            'GT_EXTRA_WIDTH': [0.2, 0.2, 0.2],
+            'BOX_CODER': 'PointResidual_BinOri_Coder',
+            'BOX_CODER_CONFIG': {
+                'angle_bin_num': 12, 'use_mean_size': True,
+                'mean_size': MEAN_SIZE,
+            },
+            'ASSIGN_METHOD': {
+                'NAME': 'extend_gt', 'ASSIGN_TYPE': 'centers_origin',
+                'EXTRA_WIDTH': [1.0, 1.0, 1.0], 'FG_PC_IGNORE': False,
+            },
+        },
+        'LOSS_CONFIG': {
+            'LOSS_CLS': 'WeightedCrossEntropy',
+            'LOSS_REG': 'WeightedSmoothL1Loss',
+            'LOSS_INS': 'WeightedCrossEntropy',
+            'SAMPLE_METHOD_LIST': SAMPLE_METHODS,
+            'LOSS_VOTE_TYPE': vote_type,
+            'CORNER_LOSS_REGULARIZATION': True,
+            'CENTERNESS_REGULARIZATION': True,
+            'CENTERNESS_REGULARIZATION_SA': True,
+            'IOU3D_REGULARIZATION': False,
+            'LOSS_WEIGHTS': {
+                'ins_aware_weight': [0, 1.0, 1.0],
+                'vote_weight': 1.0, 'point_cls_weight': 1.0,
+                'point_box_weight': 1.0, 'corner_weight': 1.0,
+                'code_weights': [1.0] * 6, 'dir_weight': 0.2,
+            },
+        },
+    })
+
+
+def _fixture(rng, B=2, M=400, levels=(200, 100)):
+    """Scene points with in-box clusters at three resolutions + gt boxes."""
+    T = 8
+    gt = np.zeros((B, T, 8), dtype=np.float32)
+    sizes = np.asarray(MEAN_SIZE, np.float32)
+    for b in range(B):
+        n = 6 if b == 0 else 4
+        cls = rng.integers(1, 4, n)
+        gt[b, :n, 0] = rng.uniform(5, 60, n)
+        gt[b, :n, 1] = rng.uniform(-25, 25, n)
+        gt[b, :n, 2] = rng.uniform(-1.2, -0.5, n)
+        gt[b, :n, 3:6] = sizes[cls - 1] * rng.uniform(0.9, 1.1, (n, 3))
+        gt[b, :n, 6] = rng.uniform(-np.pi, np.pi, n)
+        gt[b, :n, 7] = cls
+
+    def cloud(m):
+        pts = np.zeros((B, m, 3), dtype=np.float32)
+        pts[..., 0] = rng.uniform(0, 70, (B, m))
+        pts[..., 1] = rng.uniform(-40, 40, (B, m))
+        pts[..., 2] = rng.uniform(-2.5, 1, (B, m))
+        for b in range(B):
+            for i in range(T):
+                if gt[b, i, 3] <= 0:
+                    continue
+                k = max(4, m // 40)
+                local = rng.uniform(-0.45, 0.45, (k, 3)) * gt[b, i, 3:6]
+                c, s = np.cos(gt[b, i, 6]), np.sin(gt[b, i, 6])
+                world = np.stack([
+                    local[:, 0] * c - local[:, 1] * s + gt[b, i, 0],
+                    local[:, 0] * s + local[:, 1] * c + gt[b, i, 1],
+                    local[:, 2] + gt[b, i, 2]], 1)
+                pts[b, rng.integers(0, m, k)] = world
+        return pts
+
+    centers_origin = cloud(M)
+    ctr_offsets = rng.normal(0, 0.3, (B, M, 3)).astype(np.float32)
+    centers = centers_origin + ctr_offsets
+    # encoder levels 1..3; sa_ins_preds[i] sits on encoder_coords[i+1]
+    # (layer i's confidence logits are computed on its OUTPUT points)
+    enc1, enc2, enc3 = cloud(levels[0]), cloud(levels[1]), cloud(levels[0])
+    preds1 = rng.normal(0, 1, (B, levels[1], 4)).astype(np.float32)  # on enc2
+    preds2 = rng.normal(0, 1, (B, levels[0], 4)).astype(np.float32)  # on enc3
+    cls_preds = rng.normal(0, 1, (B, M, 3)).astype(np.float32)
+    box_preds = rng.normal(0, 1, (B, M, 30)).astype(np.float32)
+    return (gt, centers, centers_origin, ctr_offsets, enc1, enc2, enc3,
+            preds1, preds2, cls_preds, box_preds)
+
+
+def _stack(a):
+    """(B, M, C) -> (B*M, 1+C) with leading bs column (reference layout)."""
+    B, M = a.shape[:2]
+    bs = np.repeat(np.arange(B, dtype=np.float32), M)[:, None]
+    return np.concatenate([bs, a.reshape(B * M, -1)], axis=1)
+
+
+@pytest.mark.parametrize('vote_type', ['none', 'ver1', 'ver2'])
+def test_iassd_total_loss_matches_reference(vote_type):
+    import pcdet.ops.roiaware_pool3d.roiaware_pool3d_utils as ref_pib
+    ref_pib.points_in_boxes_gpu = _pib_gpu
+
+    rng = np.random.default_rng(11)
+    (gt, centers, centers_origin, ctr_offsets, enc1, enc2, enc3,
+     preds1, preds2, cls_preds, box_preds) = _fixture(rng)
+    B, M = centers.shape[:2]
+    cfg = _head_cfg(vote_type)
+
+    # ---- reference side: instantiate the real head, drive assign+loss ----
+    head = ref_head_mod.IASSD_Head(num_class=3, input_channels=16,
+                                   model_cfg=cfg,
+                                   predict_boxes_when_training=True)
+    head.train()
+    t = torch.tensor
+    input_dict = {
+        'batch_size': B,
+        'gt_boxes': t(gt),
+        'centers': t(_stack(centers)),
+        'centers_origin': t(_stack(centers_origin)),
+        'ctr_offsets': t(_stack(ctr_offsets)),
+        'sa_ins_preds': [[], t(preds1), t(preds2), []],
+        'encoder_coords': [t(_stack(centers)).view(B, M, 4),
+                           t(_stack(enc1)).view(B, enc1.shape[1], 4),
+                           t(_stack(enc2)).view(B, enc2.shape[1], 4),
+                           t(_stack(enc3)).view(B, enc3.shape[1], 4)],
+    }
+    targets = head.assign_targets(input_dict)
+    ret = {
+        'center_cls_preds': t(cls_preds.reshape(-1, 3)),
+        'center_box_preds': t(box_preds.reshape(-1, 30)),
+        'ctr_offsets': input_dict['ctr_offsets'],
+        'centers': input_dict['centers'],
+        'centers_origin': input_dict['centers_origin'],
+        'sa_ins_preds': input_dict['sa_ins_preds'],
+    }
+    ret.update(targets)
+    point_cls, point_box = head.generate_predicted_boxes(
+        points=input_dict['centers'][:, 1:4],
+        point_cls_preds=ret['center_cls_preds'],
+        point_box_preds=ret['center_box_preds'])
+    ret['point_box_preds'] = point_box
+    head.forward_ret_dict = ret
+    ref_loss, ref_tb = head.get_loss()
+
+    # ---- our side: dense assignment + pure-jnp loss on the same inputs ----
+    our_coder = our_coders.build_box_coder(
+        'PointResidual_BinOri_Coder', angle_bin_num=12,
+        use_mean_size=True, mean_size=MEAN_SIZE)
+    gt_j = jnp.asarray(gt)
+    ext_main = our_box_utils.enlarge_box3d(gt_j, [0.2, 0.2, 0.2])
+    ct = target_assign.assign_targets_iassd(
+        jnp.asarray(centers), gt_j, ext_main,
+        set_ignore_flag=True, ret_box_labels=True,
+        box_coder=our_coder, num_class=3)
+    ext_05 = our_box_utils.enlarge_box3d(gt_j, [0.5, 0.5, 0.5])
+    # mirror our head's assign: sa_targets[i] from encoder_xyz[i+1];
+    # entry 0 pairs with enc1 but preds[0] is None so it's unused
+    sa_targets = []
+    for i, xyz in enumerate([enc1, enc2, enc3]):
+        sa_targets.append(target_assign.assign_targets_iassd(
+            jnp.asarray(xyz), gt_j, ext_05,
+            set_ignore_flag=(i == 0), use_ex_gt_assign=(i != 0),
+            box_coder=our_coder, num_class=3))
+    sa_targets.append(None)
+    ext_vote = our_box_utils.enlarge_box3d(gt_j, [1.0, 1.0, 1.0])
+    cot = target_assign.assign_targets_iassd(
+        jnp.asarray(centers_origin), gt_j, ext_vote,
+        set_ignore_flag=True, use_ex_gt_assign=True, fg_pc_ignore=False,
+        ret_box_labels=True, box_coder=our_coder, num_class=3)
+
+    pred_classes = jnp.argmax(jnp.asarray(cls_preds), axis=-1) + 1
+    point_box_preds = our_coder.decode(
+        jnp.asarray(box_preds), jnp.asarray(centers),
+        pred_classes=pred_classes)
+
+    our_ret = {
+        'center_cls_preds': jnp.asarray(cls_preds),
+        'center_box_preds': jnp.asarray(box_preds),
+        'ctr_offsets': jnp.asarray(ctr_offsets),
+        'centers': jnp.asarray(centers),
+        'centers_origin': jnp.asarray(centers_origin),
+        'sa_ins_preds': [None, jnp.asarray(preds1[..., 1:]),
+                         jnp.asarray(preds2[..., 1:]), None],
+        'encoder_xyz': [jnp.asarray(centers), jnp.asarray(enc1),
+                        jnp.asarray(enc2), jnp.asarray(enc3)],
+        'center_targets': ct,
+        'sa_targets': sa_targets,
+        'center_origin_targets': cot,
+        'point_box_preds': point_box_preds,
+    }
+    our_loss, our_tb = iassd_head_loss(
+        our_ret, cfg.LOSS_CONFIG, num_class=3, box_coder=our_coder,
+        sa_centerness_mask=True, sample_method_list=SAMPLE_METHODS)
+
+    # per-component comparison first (better failure localization)
+    for ref_k, our_k in [('center_loss_cls', 'center_loss_cls'),
+                         ('center_loss_box', 'center_loss_box'),
+                         ('corner_loss_reg', 'corner_loss_reg'),
+                         ('sa_loss_ins', 'sa_loss_ins')]:
+        assert float(our_tb[our_k]) == pytest.approx(
+            float(ref_tb[ref_k]), rel=2e-4, abs=1e-5), (ref_k, ref_tb)
+    assert float(our_loss) == pytest.approx(float(ref_loss),
+                                            rel=2e-4, abs=1e-5)
