@@ -251,3 +251,99 @@ def test_iassd_total_loss_matches_reference(vote_type):
             float(ref_tb[ref_k]), rel=2e-4, abs=1e-5), (ref_k, ref_tb)
     assert float(our_loss) == pytest.approx(float(ref_loss),
                                             rel=2e-4, abs=1e-5)
+
+
+def test_mlt_ssd_total_loss_matches_reference():
+    """SPSNet's head (MLT_SSD_Head: IASSD_Head with the SA centerness mask
+    commented out — verified byte-twin diff) vs our sa_centerness_mask=False
+    flag, same harness as above."""
+    mlt_mod = importlib.import_module('pcdet.models.dense_heads.MLT_SSD_head')
+    import pcdet.ops.roiaware_pool3d.roiaware_pool3d_utils as ref_pib
+    ref_pib.points_in_boxes_gpu = _pib_gpu
+
+    rng = np.random.default_rng(12)
+    (gt, centers, centers_origin, ctr_offsets, enc1, enc2, enc3,
+     preds1, preds2, cls_preds, box_preds) = _fixture(rng)
+    B, M = centers.shape[:2]
+    cfg = _head_cfg('none')
+
+    head = mlt_mod.MLT_SSD_Head(num_class=3, input_channels=16,
+                                model_cfg=cfg,
+                                predict_boxes_when_training=True)
+    head.train()
+    t = torch.tensor
+    input_dict = {
+        'batch_size': B,
+        'gt_boxes': t(gt),
+        'centers': t(_stack(centers)),
+        'centers_origin': t(_stack(centers_origin)),
+        'ctr_offsets': t(_stack(ctr_offsets)),
+        'sa_ins_preds': [[], t(preds1), t(preds2), []],
+        'encoder_coords': [t(_stack(centers)).view(B, M, 4),
+                           t(_stack(enc1)).view(B, enc1.shape[1], 4),
+                           t(_stack(enc2)).view(B, enc2.shape[1], 4),
+                           t(_stack(enc3)).view(B, enc3.shape[1], 4)],
+    }
+    targets = head.assign_targets(input_dict)
+    ret = {
+        'center_cls_preds': t(cls_preds.reshape(-1, 3)),
+        'center_box_preds': t(box_preds.reshape(-1, 30)),
+        'ctr_offsets': input_dict['ctr_offsets'],
+        'centers': input_dict['centers'],
+        'centers_origin': input_dict['centers_origin'],
+        'sa_ins_preds': input_dict['sa_ins_preds'],
+    }
+    ret.update(targets)
+    _, point_box = head.generate_predicted_boxes(
+        points=input_dict['centers'][:, 1:4],
+        point_cls_preds=ret['center_cls_preds'],
+        point_box_preds=ret['center_box_preds'])
+    ret['point_box_preds'] = point_box
+    head.forward_ret_dict = ret
+    ref_loss, _ = head.get_loss()
+
+    our_coder = our_coders.build_box_coder(
+        'PointResidual_BinOri_Coder', angle_bin_num=12,
+        use_mean_size=True, mean_size=MEAN_SIZE)
+    gt_j = jnp.asarray(gt)
+    ct = target_assign.assign_targets_iassd(
+        jnp.asarray(centers), gt_j,
+        our_box_utils.enlarge_box3d(gt_j, [0.2, 0.2, 0.2]),
+        set_ignore_flag=True, ret_box_labels=True,
+        box_coder=our_coder, num_class=3)
+    ext_05 = our_box_utils.enlarge_box3d(gt_j, [0.5, 0.5, 0.5])
+    sa_targets = []
+    for i, xyz in enumerate([enc1, enc2, enc3]):
+        sa_targets.append(target_assign.assign_targets_iassd(
+            jnp.asarray(xyz), gt_j, ext_05,
+            set_ignore_flag=(i == 0), use_ex_gt_assign=(i != 0),
+            box_coder=our_coder, num_class=3))
+    sa_targets.append(None)
+    cot = target_assign.assign_targets_iassd(
+        jnp.asarray(centers_origin), gt_j,
+        our_box_utils.enlarge_box3d(gt_j, [1.0, 1.0, 1.0]),
+        set_ignore_flag=True, use_ex_gt_assign=True, fg_pc_ignore=False,
+        ret_box_labels=True, box_coder=our_coder, num_class=3)
+    pred_classes = jnp.argmax(jnp.asarray(cls_preds), axis=-1) + 1
+    our_ret = {
+        'center_cls_preds': jnp.asarray(cls_preds),
+        'center_box_preds': jnp.asarray(box_preds),
+        'ctr_offsets': jnp.asarray(ctr_offsets),
+        'centers': jnp.asarray(centers),
+        'centers_origin': jnp.asarray(centers_origin),
+        'sa_ins_preds': [None, jnp.asarray(preds1[..., 1:]),
+                         jnp.asarray(preds2[..., 1:]), None],
+        'encoder_xyz': [jnp.asarray(centers), jnp.asarray(enc1),
+                        jnp.asarray(enc2), jnp.asarray(enc3)],
+        'center_targets': ct,
+        'sa_targets': sa_targets,
+        'center_origin_targets': cot,
+        'point_box_preds': our_coder.decode(
+            jnp.asarray(box_preds), jnp.asarray(centers),
+            pred_classes=pred_classes),
+    }
+    our_loss, _ = iassd_head_loss(
+        our_ret, cfg.LOSS_CONFIG, num_class=3, box_coder=our_coder,
+        sa_centerness_mask=False, sample_method_list=SAMPLE_METHODS)
+    assert float(our_loss) == pytest.approx(float(ref_loss),
+                                            rel=2e-4, abs=1e-5)
