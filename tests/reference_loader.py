@@ -174,6 +174,17 @@ def build_reference_iassd(model_cfg, class_names=('Car', 'Pedestrian',
     import importlib
 
     import numpy as np
+
+    # Other parity tests register bare __path__ stubs for subpackages like
+    # pcdet.models.dense_heads to import leaf modules; detector building
+    # needs the REAL package __init__ (its __all__ registry). Re-import any
+    # such stub so the result is order-independent across the suite.
+    for pkg in ('pcdet.models.dense_heads',):
+        mod = sys.modules.get(pkg)
+        if mod is not None and not hasattr(mod, '__all__'):
+            del sys.modules[pkg]
+            importlib.import_module(pkg)
+
     iassd_mod = importlib.import_module('pcdet.models.detectors.IASSD')
 
     names = list(class_names)
