@@ -1043,3 +1043,84 @@ def test_iassd_target_assignment_matches_reference():
         np.testing.assert_allclose(
             our_bl[fg], ref_t['point_box_labels'].numpy()[fg],
             atol=1e-4, err_msg=mode)
+
+
+def test_part_labels_match_reference():
+    """PartA2's intra-object part locations vs the reference's generic
+    ``assign_stack_targets(ret_part_labels=True)``
+    (``point_head_template.py:49-129``) duck-run on CPU torch."""
+    import importlib
+    import sys
+    import types
+    from tests.reference_loader import REFERENCE_ROOT
+    for pkg, path in [
+        ('pcdet.models', f'{REFERENCE_ROOT}/pcdet/models'),
+        ('pcdet.models.dense_heads',
+         f'{REFERENCE_ROOT}/pcdet/models/dense_heads'),
+        ('pcdet.models.model_utils',
+         f'{REFERENCE_ROOT}/pcdet/models/model_utils'),
+    ]:
+        mod = sys.modules.setdefault(pkg, types.ModuleType(pkg))
+        mod.__path__ = [path]
+    ref_tmpl = importlib.import_module(
+        'pcdet.models.dense_heads.point_head_template')
+
+    from spsnet_tpu.data.processor.data_processor import points_first_box_np
+    import pcdet.ops.roiaware_pool3d.roiaware_pool3d_utils as ref_pib
+
+    def _pib_gpu(points_t, boxes_t):
+        out = points_first_box_np(points_t[0].numpy(), boxes_t[0].numpy())
+        return torch.from_numpy(out[None]).long()
+
+    ref_pib.points_in_boxes_gpu = _pib_gpu
+
+    from spsnet_tpu.models.dense_heads.point_intra_part_head import (
+        intra_part_targets)
+    from spsnet_tpu.utils import box_utils as our_box_utils
+
+    rng = np.random.default_rng(41)
+    B, M, T = 2, 500, 6
+    pts = np.zeros((B, M, 3), dtype=np.float32)
+    pts[..., 0] = rng.uniform(0, 70, (B, M))
+    pts[..., 1] = rng.uniform(-40, 40, (B, M))
+    pts[..., 2] = rng.uniform(-2.5, 1, (B, M))
+    gt = np.zeros((B, T, 8), dtype=np.float32)
+    for b in range(B):
+        n = 5
+        gt[b, :n, 0] = rng.uniform(5, 60, n)
+        gt[b, :n, 1] = rng.uniform(-25, 25, n)
+        gt[b, :n, 2] = rng.uniform(-1.2, -0.5, n)
+        gt[b, :n, 3:6] = rng.uniform(1.5, 4.5, (n, 3))
+        gt[b, :n, 6] = rng.uniform(-np.pi, np.pi, n)
+        gt[b, :n, 7] = rng.integers(1, 4, n)
+        for i in range(n):
+            k = 30
+            local = rng.uniform(-0.45, 0.45, (k, 3)) * gt[b, i, 3:6]
+            c, s = np.cos(gt[b, i, 6]), np.sin(gt[b, i, 6])
+            world = np.stack([
+                local[:, 0] * c - local[:, 1] * s + gt[b, i, 0],
+                local[:, 0] * s + local[:, 1] * c + gt[b, i, 1],
+                local[:, 2] + gt[b, i, 2]], 1)
+            pts[b, rng.integers(0, M, k)] = world
+
+    class _Duck:
+        num_class = 3
+
+    stacked = np.concatenate([
+        np.concatenate([np.full((M, 1), b, np.float32), pts[b]], axis=1)
+        for b in range(B)], axis=0)
+    ext = np.asarray(our_box_utils.enlarge_box3d(
+        jnp.asarray(gt), [0.2, 0.2, 0.2]))
+    ref_t = ref_tmpl.PointHeadTemplate.assign_stack_targets(
+        _Duck(), torch.tensor(stacked), torch.tensor(gt),
+        extend_gt_boxes=torch.tensor(ext),
+        set_ignore_flag=True, ret_part_labels=True)
+
+    fg, part = intra_part_targets(jnp.asarray(pts), jnp.asarray(gt))
+    ref_part = ref_t['point_part_labels'].numpy()
+    our_part = np.asarray(part).reshape(-1, 3)
+    fg_np = np.asarray(fg).reshape(-1)
+    # reference zeroes non-fg rows too (buffer init)
+    np.testing.assert_array_equal(
+        fg_np, (ref_t['point_cls_labels'].numpy() > 0))
+    np.testing.assert_allclose(our_part[fg_np], ref_part[fg_np], atol=1e-5)
