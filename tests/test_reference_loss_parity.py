@@ -347,3 +347,124 @@ def test_mlt_ssd_total_loss_matches_reference():
         sa_centerness_mask=False, sample_method_list=SAMPLE_METHODS)
     assert float(our_loss) == pytest.approx(float(ref_loss),
                                             rel=2e-4, abs=1e-5)
+
+
+def test_anchor_head_rpn_loss_matches_reference():
+    """AnchorHeadTemplate get_loss (focal cls + sin-difference smooth-L1 +
+    direction CE, ``anchor_head_template.py:101-223``) vs our
+    anchor_head_loss on identical targets/preds — the SECOND/PointPillars
+    family training objective."""
+    ref_tmpl_mod = importlib.import_module(
+        'pcdet.models.dense_heads.anchor_head_template')
+    from spsnet_tpu.models.dense_heads.anchor_head import (
+        anchor_head_loss, assign_anchor_targets, generate_anchors)
+    from spsnet_tpu.utils import box_coder as our_coders
+
+    class _AttrDict(dict):
+        __getattr__ = dict.__getitem__
+
+        def get(self, k, d=None):
+            return super().get(k, d)
+
+    pcr = [0.0, -39.68, -3.0, 69.12, 39.68, 1.0]
+    grid_size = [176, 200, 40]
+    stride = 2
+    agc = [
+        {'class_name': 'Car', 'anchor_sizes': [[3.9, 1.6, 1.56]],
+         'anchor_rotations': [0, 1.57], 'anchor_bottom_heights': [-1.78],
+         'align_center': False, 'feature_map_stride': stride,
+         'matched_threshold': 0.6, 'unmatched_threshold': 0.45},
+        {'class_name': 'Pedestrian', 'anchor_sizes': [[0.8, 0.6, 1.73]],
+         'anchor_rotations': [0, 1.57], 'anchor_bottom_heights': [-0.6],
+         'align_center': False, 'feature_map_stride': stride,
+         'matched_threshold': 0.5, 'unmatched_threshold': 0.35},
+        {'class_name': 'Cyclist', 'anchor_sizes': [[1.76, 0.6, 1.73]],
+         'anchor_rotations': [0, 1.57], 'anchor_bottom_heights': [-0.6],
+         'align_center': False, 'feature_map_stride': stride,
+         'matched_threshold': 0.5, 'unmatched_threshold': 0.35},
+    ]
+    model_cfg = _AttrDict(
+        ANCHOR_GENERATOR_CONFIG=agc,
+        TARGET_ASSIGNER_CONFIG=_AttrDict(
+            NAME='AxisAlignedTargetAssigner',
+            POS_FRACTION=-1.0, SAMPLE_SIZE=512,
+            NORM_BY_NUM_EXAMPLES=False, MATCH_HEIGHT=False,
+            BOX_CODER='ResidualCoder'),
+        LOSS_CONFIG=_AttrDict(LOSS_WEIGHTS={
+            'cls_weight': 1.0, 'loc_weight': 2.0, 'dir_weight': 0.2,
+            'code_weights': [1.0] * 7}),
+        USE_DIRECTION_CLASSIFIER=True,
+        DIR_OFFSET=0.78539, DIR_LIMIT_OFFSET=0.0, NUM_DIR_BINS=2,
+        USE_MULTIHEAD=False,
+    )
+    class_names = ['Car', 'Pedestrian', 'Cyclist']
+    head = ref_tmpl_mod.AnchorHeadTemplate(
+        model_cfg=model_cfg, num_class=3, class_names=class_names,
+        grid_size=np.array(grid_size), point_cloud_range=np.array(pcr),
+        predict_boxes_when_training=False)
+
+    rng = np.random.default_rng(29)
+    B, T = 2, 10
+    gt = np.zeros((B, T, 8), dtype=np.float32)
+    sizes = {1: [3.9, 1.6, 1.56], 2: [0.8, 0.6, 1.73], 3: [1.76, 0.6, 1.73]}
+    for b in range(B):
+        n = 6 if b == 0 else 4
+        cls = rng.integers(1, 4, n)
+        for i, c in enumerate(cls):
+            gt[b, i, 0] = rng.uniform(2, 66)
+            gt[b, i, 1] = rng.uniform(-38, 38)
+            gt[b, i, 2] = rng.uniform(-1.2, -0.6)
+            gt[b, i, 3:6] = np.asarray(sizes[int(c)]) * rng.uniform(0.9, 1.1)
+            gt[b, i, 6] = rng.choice([0.0, 1.57]) + rng.normal(0, 0.15)
+            gt[b, i, 7] = c
+
+    # real heads (AnchorHeadSingle.__init__) collapse the per-class list
+    head.num_anchors_per_location = sum(head.num_anchors_per_location)
+    targets = head.assign_targets(torch.tensor(gt))
+    N = targets['box_cls_labels'].shape[1]
+    cls_preds = rng.normal(0, 1, (B, N, 3)).astype(np.float32)
+    box_preds = rng.normal(0, 1, (B, N, 7)).astype(np.float32)
+    dir_preds = rng.normal(0, 1, (B, N, 2)).astype(np.float32)
+    # the reference reshapes box_preds from map layout (B, HW, A*code):
+    A = head.num_anchors_per_location
+    head.forward_ret_dict = {
+        'cls_preds': torch.tensor(cls_preds),
+        'box_preds': torch.tensor(box_preds.reshape(B, N // A, A * 7)),
+        'dir_cls_preds': torch.tensor(dir_preds),
+        **targets,
+    }
+    ref_loss, ref_tb = head.get_loss()
+
+    fmap = [grid_size[0] // stride, grid_size[1] // stride]
+    anchors, cls_ids, mthr, uthr = generate_anchors(
+        agc, grid_size[:2], pcr, stride)
+    flat = jnp.asarray(anchors).reshape(-1, 7)
+    our_coder = our_coders.build_box_coder('ResidualCoder')
+    labels, regs, ws = [], [], []
+    for b in range(B):
+        lab, reg, w, _ = assign_anchor_targets(
+            flat, jnp.asarray(np.tile(cls_ids, fmap[0] * fmap[1])),
+            jnp.asarray(np.tile(mthr, fmap[0] * fmap[1])),
+            jnp.asarray(np.tile(uthr, fmap[0] * fmap[1])),
+            jnp.asarray(gt[b]), our_coder, 3)
+        labels.append(lab)
+        regs.append(reg)
+        ws.append(w)
+    ret = {
+        'box_cls_labels': jnp.stack(labels),
+        'box_reg_targets': jnp.stack(regs),
+        'reg_weights': jnp.stack(ws),
+        'cls_preds': jnp.asarray(cls_preds),
+        'box_preds': jnp.asarray(box_preds),
+        'dir_preds': jnp.asarray(dir_preds),
+        'anchors': flat,
+    }
+    our_loss, our_tb = anchor_head_loss(
+        ret, model_cfg.LOSS_CONFIG, num_class=3, box_coder=our_coder,
+        num_dir_bins=2, dir_offset=0.78539)
+
+    for k in ('rpn_loss_cls', 'rpn_loss_loc', 'rpn_loss_dir'):
+        assert float(our_tb[k]) == pytest.approx(float(ref_tb[k]),
+                                                 rel=2e-4, abs=1e-6), k
+    assert float(our_loss) == pytest.approx(float(ref_loss),
+                                            rel=2e-4, abs=1e-6)
