@@ -468,3 +468,42 @@ def test_anchor_head_rpn_loss_matches_reference():
                                                  rel=2e-4, abs=1e-6), k
     assert float(our_loss) == pytest.approx(float(ref_loss),
                                             rel=2e-4, abs=1e-6)
+
+
+def test_point_head_simple_loss_matches_reference():
+    """PV-RCNN keypoint segmentation loss (focal cls normalized by
+    positives, ``point_head_template.py:131-155``) vs our
+    point_head_simple_loss on identical labels/preds."""
+    ref_tmpl = importlib.import_module(
+        'pcdet.models.dense_heads.point_head_template')
+    from pcdet.utils import loss_utils as ref_losses
+    from spsnet_tpu.models.dense_heads.point_head_simple import (
+        point_head_simple_loss)
+    from spsnet_tpu.models.dense_heads.target_assign import PointTargets
+
+    rng = np.random.default_rng(77)
+    N = 3000
+    labels = rng.choice([-1, 0, 0, 0, 1, 2, 3], N).astype(np.int32)
+    preds = rng.normal(0, 1, (N, 3)).astype(np.float32)
+
+    class _Duck:
+        num_class = 3
+        cls_loss_func = ref_losses.SigmoidFocalClassificationLoss(
+            alpha=0.25, gamma=2.0)
+        model_cfg = EDict({'LOSS_CONFIG': {
+            'LOSS_WEIGHTS': {'point_cls_weight': 1.0}}})
+        forward_ret_dict = {
+            'point_cls_labels': torch.tensor(labels).long(),
+            'point_cls_preds': torch.tensor(preds),
+        }
+
+    ref_loss, ref_tb = ref_tmpl.PointHeadTemplate.get_cls_layer_loss(_Duck())
+
+    t = PointTargets(cls_labels=jnp.asarray(labels)[None],
+                     box_idxs=jnp.zeros((1, N), jnp.int32),
+                     gt_box_of_points=jnp.zeros((1, N, 8)),
+                     fg_mask=jnp.asarray(labels > 0)[None])
+    our_loss, _ = point_head_simple_loss(
+        {'targets': t, 'point_cls_preds': jnp.asarray(preds)[None]},
+        EDict({'LOSS_WEIGHTS': {'point_cls_weight': 1.0}}))
+    assert float(our_loss) == pytest.approx(float(ref_loss), rel=1e-5)
