@@ -507,3 +507,99 @@ def test_point_head_simple_loss_matches_reference():
         {'targets': t, 'point_cls_preds': jnp.asarray(preds)[None]},
         EDict({'LOSS_WEIGHTS': {'point_cls_weight': 1.0}}))
     assert float(our_loss) == pytest.approx(float(ref_loss), rel=1e-5)
+
+
+def test_center_head_loss_matches_reference():
+    """CenterPoint loss (cornernet focal heatmap + masked L1 at inds,
+    ``center_head.py:225-252`` + ``loss_utils.py:552-680``) vs our
+    center_head_loss on identical preds/targets."""
+    ref_ch_mod = importlib.import_module(
+        'pcdet.models.dense_heads.center_head')
+    from spsnet_tpu.models.dense_heads.center_head import (
+        assign_center_targets, center_head_loss)
+
+    pcr = np.array([0, -40.0, -3, 70.4, 40.0, 1], dtype=np.float32)
+    voxel = [0.05, 0.05, 0.1]
+    W, H, stride = 88, 100, 8
+    rng = np.random.default_rng(51)
+    B, T, K = 2, 8, 24
+    gt = np.zeros((B, T, 8), dtype=np.float32)
+    for b in range(B):
+        n = 6 if b == 0 else 4
+        gt[b, :n, 0] = rng.uniform(2, 68, n)
+        gt[b, :n, 1] = rng.uniform(-38, 38, n)
+        gt[b, :n, 2] = rng.uniform(-1.5, 0, n)
+        gt[b, :n, 3:6] = rng.uniform(0.5, 4.5, (n, 3))
+        gt[b, :n, 6] = rng.uniform(-np.pi, np.pi, n)
+        gt[b, :n, 7] = rng.integers(1, 4, n)
+
+    # preds in channel-last (ours) / channel-first (reference)
+    hm = rng.normal(0, 1, (B, H, W, 3)).astype(np.float32)
+    center = rng.normal(0, 1, (B, H, W, 2)).astype(np.float32)
+    center_z = rng.normal(0, 1, (B, H, W, 1)).astype(np.float32)
+    dim = rng.normal(0, 1, (B, H, W, 3)).astype(np.float32)
+    rot = rng.normal(0, 1, (B, H, W, 2)).astype(np.float32)
+
+    # both sides' targets from OUR assign (cross-verified vs the
+    # reference's assign_target_of_single_head in test_reference_parity)
+    hm_t, boxes_t, inds_t, mask_t = [], [], [], []
+    for b in range(B):
+        h, bx, ind, m, _ = assign_center_targets(
+            jnp.asarray(gt[b]), 3, (W, H), stride, voxel, pcr,
+            num_max_objs=K, gaussian_overlap=0.1, min_radius=2)
+        hm_t.append(np.asarray(h))
+        boxes_t.append(np.asarray(bx))
+        inds_t.append(np.asarray(ind))
+        mask_t.append(np.asarray(m))
+    hm_t, boxes_t = np.stack(hm_t), np.stack(boxes_t)
+    inds_t, mask_t = np.stack(inds_t), np.stack(mask_t)
+
+    class _AttrDict(dict):
+        __getattr__ = dict.__getitem__
+
+        def get(self, k, d=None):
+            return super().get(k, d)
+
+    lw = {'cls_weight': 1.0, 'loc_weight': 2.0, 'code_weights': [1.0] * 8}
+
+    class _Duck:
+        from pcdet.utils import loss_utils as _rl
+        hm_loss_func = _rl.FocalLossCenterNet()
+        reg_loss_func = _rl.RegLossCenterNet()
+        model_cfg = _AttrDict(LOSS_CONFIG=_AttrDict(LOSS_WEIGHTS=lw))
+        separate_head_cfg = _AttrDict(
+            HEAD_ORDER=['center', 'center_z', 'dim', 'rot'])
+        sigmoid = ref_ch_mod.CenterHead.sigmoid
+        forward_ret_dict = {
+            'pred_dicts': [{
+                'hm': torch.tensor(hm.transpose(0, 3, 1, 2)),
+                'center': torch.tensor(center.transpose(0, 3, 1, 2)),
+                'center_z': torch.tensor(center_z.transpose(0, 3, 1, 2)),
+                'dim': torch.tensor(dim.transpose(0, 3, 1, 2)),
+                'rot': torch.tensor(rot.transpose(0, 3, 1, 2)),
+            }],
+            'target_dicts': {
+                'heatmaps': [torch.tensor(hm_t)],
+                'target_boxes': [torch.tensor(boxes_t)],
+                'inds': [torch.tensor(inds_t).long()],
+                'masks': [torch.tensor(mask_t)],
+            },
+        }
+
+    ref_loss, ref_tb = ref_ch_mod.CenterHead.get_loss(_Duck())
+
+    ret = {
+        'heatmap': jnp.asarray(hm), 'center': jnp.asarray(center),
+        'center_z': jnp.asarray(center_z), 'dim': jnp.asarray(dim),
+        'rot': jnp.asarray(rot),
+        'heatmap_target': jnp.asarray(hm_t),
+        'box_targets': jnp.asarray(boxes_t),
+        'inds': jnp.asarray(inds_t), 'masks': jnp.asarray(mask_t),
+    }
+    our_loss, our_tb = center_head_loss(
+        ret, _AttrDict(LOSS_WEIGHTS=lw))
+    assert float(our_tb['hm_loss']) == pytest.approx(
+        float(ref_tb['hm_loss_head_0']), rel=1e-4)
+    assert float(our_tb['loc_loss']) == pytest.approx(
+        float(ref_tb['loc_loss_head_0']), rel=1e-3)
+    assert float(our_loss) == pytest.approx(float(ref_loss), rel=1e-3)
