@@ -603,3 +603,128 @@ def test_center_head_loss_matches_reference():
     assert float(our_tb['loc_loss']) == pytest.approx(
         float(ref_tb['loc_loss_head_0']), rel=1e-3)
     assert float(our_loss) == pytest.approx(float(ref_loss), rel=1e-3)
+
+
+def test_roi_head_loss_matches_reference():
+    """Two-stage RoI loss (BCE cls + canonical smooth-L1 reg + corner,
+    ``roi_head_template.py:136-232``) vs our pointrcnn_head_loss on
+    identical sampled-roi targets and predictions."""
+    ref_roi_mod_pkgs = [
+        ('pcdet.models.roi_heads', f'{REFERENCE_ROOT}/pcdet/models/roi_heads'),
+    ]
+    for pkg, path in ref_roi_mod_pkgs:
+        mod = sys.modules.setdefault(pkg, types.ModuleType(pkg))
+        mod.__path__ = [path]
+    ref_roi = importlib.import_module(
+        'pcdet.models.roi_heads.roi_head_template')
+    from pcdet.utils import loss_utils as ref_losses
+    from spsnet_tpu.models.roi_heads.pointrcnn_head import (
+        pointrcnn_head_loss)
+    from spsnet_tpu.models.roi_heads.roi_utils import RoiTargets
+    from spsnet_tpu.utils import box_coder as our_coders
+    from spsnet_tpu.utils.common import rotate_points_along_z
+
+    rng = np.random.default_rng(61)
+    B, R = 2, 32
+    rois = np.zeros((B, R, 7), dtype=np.float32)
+    rois[..., 0] = rng.uniform(5, 60, (B, R))
+    rois[..., 1] = rng.uniform(-25, 25, (B, R))
+    rois[..., 2] = rng.uniform(-1.2, -0.5, (B, R))
+    rois[..., 3:6] = rng.uniform(1.0, 4.5, (B, R, 3))
+    rois[..., 6] = rng.uniform(-np.pi, np.pi, (B, R))
+    # global gt near each roi; canonical gt derived consistently
+    gt_src = rois.copy()
+    gt_src[..., 0:3] += rng.normal(0, 0.3, (B, R, 3)).astype(np.float32)
+    gt_src[..., 3:6] *= rng.uniform(0.9, 1.1, (B, R, 3)).astype(np.float32)
+    gt_src[..., 6] += rng.normal(0, 0.2, (B, R)).astype(np.float32)
+    local_xyz = np.stack([
+        np.asarray(rotate_points_along_z(
+            jnp.asarray((gt_src[b, :, 0:3] - rois[b, :, 0:3])[:, None, :]),
+            jnp.asarray(-rois[b, :, 6])))[:, 0, :]
+        for b in range(B)])
+    gt_ct = gt_src.copy()
+    gt_ct[..., 0:3] = local_xyz
+    gt_ct[..., 6] = gt_src[..., 6] - rois[..., 6]
+    gt8 = np.concatenate([gt_ct, np.ones((B, R, 1), np.float32)], axis=-1)
+    gt8_src = np.concatenate([gt_src, np.ones((B, R, 1), np.float32)],
+                             axis=-1)
+    reg_valid = (rng.random((B, R)) < 0.4).astype(np.int64)
+    # soft iou-style labels in [0, 1]: torch>=2 rejects the reference's
+    # -1 ignore sentinel inside F.binary_cross_entropy (it ran on torch
+    # 1.6); the ignore masking itself is structural and identical
+    cls_labels = rng.random((B, R)).astype(np.float32)
+    rcnn_cls = rng.normal(0, 1, (B * R, 1)).astype(np.float32)
+    rcnn_reg = rng.normal(0, 0.3, (B * R, 7)).astype(np.float32)
+
+    class _AttrDict(dict):
+        __getattr__ = dict.__getitem__
+
+        def get(self, k, d=None):
+            return super().get(k, d)
+
+    lw = {'rcnn_cls_weight': 1.0, 'rcnn_reg_weight': 1.0,
+          'rcnn_corner_weight': 1.0, 'code_weights': [1.0] * 7}
+
+    class _Duck:
+        model_cfg = _AttrDict(LOSS_CONFIG=_AttrDict(
+            CLS_LOSS='BinaryCrossEntropy', REG_LOSS='smooth-l1',
+            CORNER_LOSS_REGULARIZATION=True, LOSS_WEIGHTS=lw))
+        from pcdet.utils import box_coder_utils as _rbc
+        box_coder = _rbc.ResidualCoder()
+        reg_loss_func = ref_losses.WeightedSmoothL1Loss(
+            code_weights=lw['code_weights'])
+        forward_ret_dict = {
+            'reg_valid_mask': torch.tensor(reg_valid),
+            'gt_of_rois': torch.tensor(gt8),
+            'gt_of_rois_src': torch.tensor(gt8_src),
+            'rcnn_cls': torch.tensor(rcnn_cls),
+            'rcnn_cls_labels': torch.tensor(cls_labels),
+            'rcnn_reg': torch.tensor(rcnn_reg),
+            'rois': torch.tensor(rois),
+        }
+
+    duck = _Duck()
+    # bind the template's loss methods onto the duck
+    duck.get_box_cls_layer_loss = \
+        ref_roi.RoIHeadTemplate.get_box_cls_layer_loss.__get__(duck)
+    duck.get_box_reg_layer_loss = \
+        ref_roi.RoIHeadTemplate.get_box_reg_layer_loss.__get__(duck)
+    ref_loss, ref_tb = ref_roi.RoIHeadTemplate.get_loss(duck)
+
+    our_coder = our_coders.build_box_coder('ResidualCoder')
+    # our forward's decode path (matches the reference's corner decode)
+    local_rois = jnp.asarray(rois).at[..., 0:3].set(0.0).at[..., 6].set(0.0)
+    decoded_local = our_coder.decode(
+        jnp.asarray(rcnn_reg).reshape(B, R, 7), local_rois)
+    xyz_g = rotate_points_along_z(
+        decoded_local[..., 0:3].reshape(B * R, 1, 3),
+        jnp.asarray(rois[..., 6]).reshape(B * R)).reshape(B, R, 3)
+    decoded = decoded_local.at[..., 0:3].set(
+        xyz_g + jnp.asarray(rois[..., 0:3]))
+    decoded = decoded.at[..., 6].add(jnp.asarray(rois[..., 6]))
+
+    t = RoiTargets(
+        rois=jnp.asarray(rois),
+        roi_labels=jnp.ones((B, R), jnp.int32),
+        roi_scores=jnp.zeros((B, R)),
+        gt_of_rois=jnp.asarray(gt8),
+        gt_of_rois_src=jnp.asarray(gt8_src),
+        gt_iou_of_rois=jnp.zeros((B, R)),
+        reg_valid_mask=jnp.asarray(reg_valid) > 0,
+        rcnn_cls_labels=jnp.asarray(cls_labels))
+    ret = {'targets': t, 'rcnn_cls': jnp.asarray(rcnn_cls).reshape(B, R, 1),
+           'rcnn_reg': jnp.asarray(rcnn_reg).reshape(B, R, 7),
+           'batch_box_preds': decoded}
+    our_loss, our_tb = pointrcnn_head_loss(
+        ret, _AttrDict(CLS_LOSS='BinaryCrossEntropy',
+                       CORNER_LOSS_REGULARIZATION=True, LOSS_WEIGHTS=lw),
+        our_coder)
+
+    for k in ('rcnn_loss_cls', 'rcnn_loss_reg'):
+        assert float(our_tb[k]) == pytest.approx(float(ref_tb[k]),
+                                                 rel=2e-4), k
+    # our reg tb excludes corner (separate key); reference folds corner
+    # into rcnn_loss_reg's return but logs it separately too
+    assert float(our_tb['rcnn_loss_corner']) == pytest.approx(
+        float(ref_tb['rcnn_loss_corner']), rel=2e-3)
+    assert float(our_loss) == pytest.approx(float(ref_loss), rel=2e-3)
