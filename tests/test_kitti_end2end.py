@@ -31,9 +31,9 @@ def _make_calib(path):
     path.write_text('\n'.join(lines) + '\n')
 
 
-@pytest.fixture(scope='module')
-def kitti_root(tmp_path_factory):
-    root = tmp_path_factory.mktemp('kitti')
+def build_kitti_root(root):
+    """Synthetic mini-KITTI tree (velodyne/calib/label_2 + infos pkls);
+    reused by the CLI end-to-end test."""
     (root / 'ImageSets').mkdir()
     split_ids = [f'{i:06d}' for i in range(N_FRAMES)]
     (root / 'ImageSets' / 'val.txt').write_text('\n'.join(split_ids))
@@ -129,6 +129,11 @@ def kitti_root(tmp_path_factory):
     with open(root / 'kitti_infos_train.pkl', 'wb') as f:
         pickle.dump(infos, f)
     return root
+
+
+@pytest.fixture(scope='module')
+def kitti_root(tmp_path_factory):
+    return build_kitti_root(tmp_path_factory.mktemp('kitti'))
 
 
 def _dataset_cfg(num_points=256, deterministic=False):

@@ -22,6 +22,9 @@ def parse_config():
     parser.add_argument('--eval_all', action='store_true')
     parser.add_argument('--max_waiting_mins', type=int, default=30)
     parser.add_argument('--save_to_file', action='store_true')
+    parser.add_argument('--output_dir', type=str, default=None,
+                        help='run dir holding ckpt/ (default: derived from '
+                             'the cfg path like the reference)')
     parser.add_argument('--set', dest='set_cfgs', nargs=argparse.REMAINDER,
                         default=None)
     args = parser.parse_args()
@@ -45,7 +48,8 @@ def main():
     from spsnet_tpu.models.detectors import build_detector_from_cfg
     from spsnet_tpu.runtime.trainer import Trainer
 
-    output_dir = Path(cfg.ROOT_DIR) / 'output' / cfg.EXP_GROUP_PATH / \
+    output_dir = Path(args.output_dir) if args.output_dir else \
+        Path(cfg.ROOT_DIR) / 'output' / cfg.EXP_GROUP_PATH / \
         cfg.TAG / args.extra_tag
     eval_dir = output_dir / 'eval'
     eval_dir.mkdir(parents=True, exist_ok=True)
