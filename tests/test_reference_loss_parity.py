@@ -728,3 +728,116 @@ def test_roi_head_loss_matches_reference():
     assert float(our_tb['rcnn_loss_corner']) == pytest.approx(
         float(ref_tb['rcnn_loss_corner']), rel=2e-3)
     assert float(our_loss) == pytest.approx(float(ref_loss), rel=2e-3)
+
+
+def test_stability_cvae_loss_matches_reference():
+    """SPSNet's stability (CVAE) training loss — masked center regression +
+    L2-norm regularization + fg/bg KL terms with the exp(logvar)-as-scale
+    quirk (``stability_generate/model.py:430-508``) — vs our
+    generate_center_loss, with targets from each side's own assignment."""
+    # the reference stability module pulls torchvision + pointnet2 CUDA at
+    # import; stub what the LOSS path never touches
+    if 'torchvision' not in sys.modules:
+        tv = types.ModuleType('torchvision')
+        tv.models = types.ModuleType('torchvision.models')
+        sys.modules['torchvision'] = tv
+        sys.modules['torchvision.models'] = tv.models
+    for pkg, path in [
+        ('pcdet.ops.pointnet2', f'{REFERENCE_ROOT}/pcdet/ops/pointnet2'),
+        ('pcdet.ops.pointnet2.pointnet2_batch',
+         f'{REFERENCE_ROOT}/pcdet/ops/pointnet2/pointnet2_batch'),
+    ]:
+        mod = sys.modules.setdefault(pkg, types.ModuleType(pkg))
+        mod.__path__ = [path]
+    sys.modules.setdefault(
+        'pcdet.ops.pointnet2.pointnet2_batch.pointnet2_batch_cuda',
+        types.ModuleType('pointnet2_batch_cuda'))
+    from tests.reference_loader import load_reference_file
+    ref_stab = load_reference_file('stability_generate/model.py',
+                                   'ref_stability_model')
+    from pcdet.utils import loss_utils as ref_losses
+    import pcdet.ops.roiaware_pool3d.roiaware_pool3d_utils as ref_pib
+    ref_pib.points_in_boxes_gpu = _pib_gpu
+
+    from spsnet_tpu.models.dense_heads.target_assign import (
+        assign_targets_iassd)
+    from spsnet_tpu.stability.model import generate_center_loss
+    from spsnet_tpu.utils import box_utils as our_box_utils
+
+    rng = np.random.default_rng(71)
+    B, M, T = 2, 400, 6
+    pts = np.zeros((B, M, 3), dtype=np.float32)
+    pts[..., 0] = rng.uniform(0, 70, (B, M))
+    pts[..., 1] = rng.uniform(-40, 40, (B, M))
+    pts[..., 2] = rng.uniform(-2.5, 1, (B, M))
+    gt = np.zeros((B, T, 8), dtype=np.float32)
+    for b in range(B):
+        n = 4
+        gt[b, :n, 0] = rng.uniform(5, 60, n)
+        gt[b, :n, 1] = rng.uniform(-25, 25, n)
+        gt[b, :n, 2] = rng.uniform(-1.2, -0.5, n)
+        gt[b, :n, 3:6] = rng.uniform(1.5, 4.5, (n, 3))
+        gt[b, :n, 6] = rng.uniform(-np.pi, np.pi, n)
+        gt[b, :n, 7] = rng.integers(1, 4, n)
+        for i in range(n):
+            k = 40
+            local = rng.uniform(-0.4, 0.4, (k, 3)) * gt[b, i, 3:6]
+            c, s = np.cos(gt[b, i, 6]), np.sin(gt[b, i, 6])
+            world = np.stack([
+                local[:, 0] * c - local[:, 1] * s + gt[b, i, 0],
+                local[:, 0] * s + local[:, 1] * c + gt[b, i, 1],
+                local[:, 2] + gt[b, i, 2]], 1)
+            pts[b, rng.integers(0, M, k)] = world
+
+    center_pred = rng.normal(0, 0.3, (B * M, 3)).astype(np.float32)
+    mux = rng.normal(0, 1, (B * M, 8)).astype(np.float32)
+    logvarx = rng.normal(0, 0.5, (B * M, 8)).astype(np.float32)
+    lin1 = torch.nn.Linear(4, 6)
+    lin2 = torch.nn.Linear(6, 3)
+    lin3 = torch.nn.Linear(3, 2)
+
+    stacked = np.concatenate([
+        np.concatenate([np.full((M, 1), b, np.float32), pts[b]], axis=1)
+        for b in range(B)], axis=0)
+    ext = np.asarray(our_box_utils.enlarge_box3d(
+        jnp.asarray(gt), [0.5, 0.5, 0.5]))
+
+    class _Duck:
+        num_class = 3
+        reg_loss_func = ref_losses.WeightedSmoothL1Loss(
+            code_weights=[1.0, 1.0, 1.0])
+        feature_extract, feature_encoder, obj_encoder = lin1, lin2, lin3
+
+    duck = _Duck()
+    sa_t = ref_stab.Generate_center.assign_stack_targets_IASSD(
+        duck, torch.tensor(stacked), torch.tensor(gt),
+        extend_gt_boxes=torch.tensor(ext), set_ignore_flag=True)
+    duck.forward_ret_dict = {
+        'sa_ins_labels': [sa_t['point_cls_labels']],
+        'sa_gt_box_of_fg_points': [sa_t['gt_box_of_fg_points']],
+        'sa_xyz_coords': [torch.tensor(stacked)],
+        'center_pred': torch.tensor(center_pred),
+        'mux': torch.tensor(mux),
+        'logvarx': torch.tensor(logvarx),
+    }
+    duck.generate_center_ness_mask = \
+        ref_stab.Generate_center.generate_center_ness_mask.__get__(duck)
+    duck.kl_divergence = \
+        ref_stab.Generate_center.kl_divergence.__get__(duck)
+    ref_loss, ref_tb, _ = ref_stab.Generate_center.get_training_loss(duck)
+
+    params = {'l1': {'w': jnp.asarray(lin1.weight.detach().numpy()),
+                     'b': jnp.asarray(lin1.bias.detach().numpy())},
+              'l2': {'w': jnp.asarray(lin2.weight.detach().numpy()),
+                     'b': jnp.asarray(lin2.bias.detach().numpy())},
+              'l3': {'w': jnp.asarray(lin3.weight.detach().numpy()),
+                     'b': jnp.asarray(lin3.bias.detach().numpy())}}
+    ret = {'layer_xyz': jnp.asarray(pts),
+           'center_pred': jnp.asarray(center_pred).reshape(B, M, 3),
+           'mu': jnp.asarray(mux).reshape(B, M, 8),
+           'logvar': jnp.asarray(logvarx).reshape(B, M, 8)}
+    our_loss, our_tb = generate_center_loss(
+        params, ret, jnp.asarray(gt), code_weights=[1.0, 1.0, 1.0])
+    assert float(our_tb['center_loss_box']) == pytest.approx(
+        float(ref_tb['center_loss_box']), rel=2e-4, abs=1e-6)
+    assert float(our_loss) == pytest.approx(float(ref_loss), rel=2e-4)
