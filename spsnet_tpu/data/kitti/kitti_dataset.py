@@ -160,6 +160,12 @@ class KittiDataset(DatasetTemplate):
             gt_boxes_lidar = kitti_utils.boxes3d_kitti_camera_to_lidar(
                 gt_boxes_camera, calib)
             input_dict.update({'gt_names': gt_names, 'gt_boxes': gt_boxes_lidar})
+            # Unconditional like the reference (``kitti_dataset.py:431-433``):
+            # get_road_plane returns None when planes/ is absent, and the
+            # gt-sampling augmentor's own USE_ROAD_PLANE key decides usage.
+            road_plane = self.get_road_plane(sample_idx)
+            if road_plane is not None:
+                input_dict['road_plane'] = road_plane
 
         get_item_list = list(self.dataset_cfg.get('GET_ITEM_LIST', ['points']))
         if 'annos' in info and 'gt_boxes2d' in get_item_list:
@@ -173,10 +179,6 @@ class KittiDataset(DatasetTemplate):
                 fov_flag = self.get_fov_flag_lidar(points, img_shape, calib)
                 points = points[fov_flag]
             input_dict['points'] = points
-        if self.dataset_cfg.get('USE_ROAD_PLANE', False):
-            road_plane = self.get_road_plane(sample_idx)
-            if road_plane is not None:
-                input_dict['road_plane'] = road_plane
         if 'images' in get_item_list:
             input_dict['images'] = self.get_image(sample_idx)
         if 'depth_maps' in get_item_list:
@@ -371,7 +373,7 @@ class KittiDataset(DatasetTemplate):
 
 
 def create_kitti_infos(dataset_cfg, class_names, data_path, save_path,
-                       workers=4):
+                       workers=4, with_gt_database=True):
     """Generate train/val/test infos + gt database
     (parity: ``kitti_dataset.py:create_kitti_infos``)."""
     dataset = KittiDataset(dataset_cfg=dataset_cfg, class_names=class_names,
@@ -384,6 +386,8 @@ def create_kitti_infos(dataset_cfg, class_names, data_path, save_path,
                                   count_inside_pts=True)
         with open(Path(save_path) / fname, 'wb') as f:
             pickle.dump(infos, f)
-    dataset.set_split(train_split)
-    dataset.create_groundtruth_database(
-        Path(save_path) / f'kitti_infos_{train_split}.pkl', split=train_split)
+    if with_gt_database:
+        dataset.set_split(train_split)
+        dataset.create_groundtruth_database(
+            Path(save_path) / f'kitti_infos_{train_split}.pkl',
+            split=train_split)

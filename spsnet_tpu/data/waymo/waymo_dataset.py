@@ -326,7 +326,7 @@ class WaymoDataset(DatasetTemplate):
 def create_waymo_infos(dataset_cfg, class_names, data_path, save_path,
                        raw_data_tag='raw_data',
                        processed_data_tag='waymo_processed_data',
-                       workers=8):
+                       workers=8, with_gt_database=True):
     """Info + gt-database generation driver (parity:
     ``waymo_dataset.py:403-445``): train/val info aggregation then the
     train-split gt database."""
@@ -347,10 +347,11 @@ def create_waymo_infos(dataset_cfg, class_names, data_path, save_path,
         print(f'Waymo info {split} file saved to {filename} '
               f'({len(infos)} frames)')
 
-    dataset.set_split('train')
-    dataset.create_groundtruth_database(
-        info_path=train_filename, save_path=save_path, split='train',
-        sampled_interval=1,
-        used_classes=['Vehicle', 'Pedestrian', 'Cyclist'],
-        processed_data_tag=processed_data_tag)
+    if with_gt_database:
+        dataset.set_split('train')
+        dataset.create_groundtruth_database(
+            info_path=train_filename, save_path=save_path, split='train',
+            sampled_interval=1,
+            used_classes=['Vehicle', 'Pedestrian', 'Cyclist'],
+            processed_data_tag=processed_data_tag)
     print('Waymo data preparation done')

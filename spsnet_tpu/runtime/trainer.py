@@ -138,8 +138,11 @@ def make_stability_preprocess(hook_cfg, logger=None):
     gen = GenerateCenter(model_cfg=StaticConfig(hook_cfg.MODEL))
     ckpt_path = hook_cfg.get('CKPT', None)
     if ckpt_path:
-        import orbax.checkpoint as ocp
-        gen_vars = ocp.StandardCheckpointer().restore(ckpt_path)
+        from ..stability.hook import load_generator_checkpoint
+        gen_vars = load_generator_checkpoint(ckpt_path)
+        if logger:
+            logger.info('stability hook: restored frozen generator from %s',
+                        ckpt_path)
     else:
         if logger:
             logger.warning('STABILITY_HOOK.CKPT unset: random generator init')
@@ -236,13 +239,17 @@ class Trainer:
                 pass   # not the main thread (e.g. under a test harness)
 
         def _preempt_save(epoch):
-            if jax.process_index() == 0 and \
-                    epoch not in set(self.ckpt.all_steps()):
-                self.ckpt.save(epoch, jax.device_get(state))
+            # Never write MID-epoch state: checkpoint step k means "k epochs
+            # completed" (saved at epoch end below), and resume semantics are
+            # epoch-granular. The previous epoch's checkpoint (or init, for a
+            # fresh run preempted in epoch 0) is the correct resume point.
+            have = epoch in set(self.ckpt.all_steps())
             if self.logger:
                 self.logger.info(
-                    'preemption signal: checkpoint at epoch %d saved, '
-                    'exiting cleanly (resume redoes this epoch)', epoch)
+                    'preemption signal during epoch %d: exiting cleanly '
+                    '(resume %s)', epoch,
+                    f'redoes epoch {epoch} from checkpoint {epoch}' if have
+                    else 'restarts from initialization — no completed epoch')
 
         try:
             for epoch in range(start_epoch, self.total_epochs):

@@ -45,7 +45,16 @@ def maybe_init_distributed() -> bool:
             yield from _all_cluster_types(c)
 
     auto = any(c.is_env_present() for c in _all_cluster_types(clusters.ClusterEnv))
-    if coord and n:
+    if coord or n or os.environ.get('JAX_PROCESS_ID'):
+        trio = ('JAX_COORDINATOR_ADDRESS', 'JAX_NUM_PROCESSES',
+                'JAX_PROCESS_ID')
+        missing = [k for k in trio if not os.environ.get(k)]
+        if missing:
+            raise RuntimeError(
+                'manual multi-host launch needs all three of '
+                f'{", ".join(trio)}; missing: {", ".join(missing)} '
+                '(set them on every process, e.g. via '
+                'tools/scripts/dist_train.sh)')
         jax.distributed.initialize(
             coordinator_address=coord,
             num_processes=int(n),

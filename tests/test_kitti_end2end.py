@@ -167,6 +167,63 @@ def _dataset_cfg(num_points=256, deterministic=False):
     })
 
 
+def test_road_plane_wiring_through_getitem(tmp_path):
+    """__getitem__ loads planes/ unconditionally (advisor r2 medium): with a
+    gt_sampling aug whose USE_ROAD_PLANE is True, sampled boxes coming out of
+    the full KittiDataset path must sit on the plane — the snap must be live
+    in the CLI path, not only when tests inject road_plane directly."""
+    from tests.test_database_sampler import _build_db
+
+    (tmp_path / 'kitti').mkdir()
+    root = build_kitti_root(tmp_path / 'kitti')
+    rng = np.random.default_rng(5)
+    _build_db(root, rng, per_class=12)
+    planes_dir = root / 'training' / 'planes'
+    planes_dir.mkdir()
+    for i in range(N_FRAMES):
+        # KITTI planes format: 3 header lines, then the rect-frame plane.
+        # [0,-1,0,1.65] <-> lidar z = -1.65 under the fixture calib.
+        (planes_dir / f'{i:06d}.txt').write_text(
+            '# Plane\nWidth 4\nHeight 1\n0 -1 0 1.65\n')
+
+    cfg = _dataset_cfg()
+    cfg.MAX_GT_BOXES = 48
+    cfg.DATA_AUGMENTOR = EDict({
+        'DISABLE_AUG_LIST': ['placeholder'],
+        'AUG_CONFIG_LIST': [EDict({
+            'NAME': 'gt_sampling',
+            'DB_INFO_PATH': ['kitti_dbinfos_train.pkl'],
+            'PREPARE': {'filter_by_min_points': ['Car:5', 'Pedestrian:5',
+                                                 'Cyclist:5'],
+                        'filter_by_difficulty': [-1]},
+            'SAMPLE_GROUPS': ['Car:12', 'Pedestrian:6', 'Cyclist:6'],
+            'NUM_POINT_FEATURES': 4,
+            'LIMIT_WHOLE_SCENE': True,
+            'REMOVE_EXTRA_WIDTH': [0.0, 0.0, 0.0],
+            'USE_ROAD_PLANE': True,
+        })],
+    })
+    ds = KittiDataset(cfg, ['Car', 'Pedestrian', 'Cyclist'],
+                      training=True, root_path=root)
+    np.random.seed(9)
+    frame = ds[0]
+    gt = frame['gt_boxes']
+    assert len(gt) > 8, 'gt_sampling added no boxes'
+    sampled = gt[8:]              # fixture frames carry 8 original cars
+    bottoms = sampled[:, 2] - sampled[:, 5] / 2
+    np.testing.assert_allclose(bottoms, -1.65, atol=1e-3)
+
+    # without planes/ the same pipeline must leave db heights untouched
+    for f in planes_dir.iterdir():
+        f.unlink()
+    ds2 = KittiDataset(cfg, ['Car', 'Pedestrian', 'Cyclist'],
+                       training=True, root_path=root)
+    np.random.seed(9)
+    gt2 = ds2[0]['gt_boxes']
+    b2 = gt2[8:, 2] - gt2[8:, 5] / 2
+    assert np.ptp(b2) > 0.05, 'expected unsnapped db heights without planes/'
+
+
 def test_kitti_eval_end2end(kitti_root, tmp_path):
     dataset = KittiDataset(_dataset_cfg(), ['Car', 'Pedestrian', 'Cyclist'],
                            training=False, root_path=kitti_root)

@@ -115,8 +115,10 @@ def test_recall_dedup_and_finalize():
 
 @pytest.mark.slow
 def test_preemption_signal_checkpoints_and_resumes(tmp_path):
-    """SIGUSR1 mid-epoch -> train() checkpoints at the current epoch and
-    returns; auto-resume restores and redoes the interrupted epoch."""
+    """SIGUSR1 mid-epoch -> train() exits cleanly at the next step boundary
+    WITHOUT writing mid-epoch state (checkpoint step k strictly means "k
+    epochs completed" — advisor r2); a fresh run preempted in epoch 0 resumes
+    from initialization."""
     import os
     import signal
 
@@ -147,12 +149,10 @@ def test_preemption_signal_checkpoints_and_resumes(tmp_path):
     assert loader.count <= 3
     assert int(state.step) == loader.count
 
-    # checkpoint for the interrupted epoch (0) is on disk and restorable
-    assert trainer.ckpt.latest_step() == 0
-    template = jax.device_get(state)
-    restored, step = trainer.ckpt.restore(template)
-    assert step == 0
-    # resume: one full epoch from the restored state completes and saves
+    # no mid-epoch checkpoint was written: a fresh run preempted during
+    # epoch 0 resumes from initialization, keeping step-k == k-epochs-done
+    assert trainer.ckpt.latest_step() is None
+    # resume from scratch: one full epoch completes and saves checkpoint 1
     trainer2 = Trainer(cfg, model, tmp_path, total_iters_each_epoch=4,
                        mesh=mesh)
     trainer2.total_epochs = 1

@@ -36,8 +36,10 @@ def main():
                         help='nuscenes only')
     parser.add_argument('--max_sweeps', type=int, default=10,
                         help='nuscenes only')
-    parser.add_argument('--with_gt_database', action='store_true',
-                        default=True)
+    parser.add_argument('--with_gt_database',
+                        action=argparse.BooleanOptionalAction, default=True,
+                        help='build the gt-sampling database after infos '
+                             '(disable with --no-with_gt_database)')
     args = parser.parse_args()
 
     from spsnet_tpu.config import EDict, cfg_from_yaml_file
@@ -51,7 +53,8 @@ def main():
         create_kitti_infos(
             dataset_cfg=cfg,
             class_names=['Car', 'Pedestrian', 'Cyclist'],
-            data_path=data_path, save_path=save_path, workers=args.workers)
+            data_path=data_path, save_path=save_path, workers=args.workers,
+            with_gt_database=args.with_gt_database)
     elif args.dataset == 'waymo':
         from spsnet_tpu.data.waymo.waymo_dataset import create_waymo_infos
         create_waymo_infos(
@@ -60,7 +63,7 @@ def main():
             data_path=data_path, save_path=save_path,
             processed_data_tag=cfg.get('PROCESSED_DATA_TAG',
                                        'waymo_processed_data'),
-            workers=args.workers)
+            workers=args.workers, with_gt_database=args.with_gt_database)
     elif args.dataset == 'nuscenes':
         from spsnet_tpu.data.nuscenes.nuscenes_dataset import NuScenesDataset
         from spsnet_tpu.data.nuscenes.nuscenes_utils import (
@@ -86,7 +89,9 @@ def main():
             if p.exists():
                 train_pkl = p
                 break
-        if train_pkl is not None:
+        if not args.with_gt_database:
+            pass
+        elif train_pkl is not None:
             with open(train_pkl, 'rb') as f:
                 dataset.infos = pickle.load(f)
             dataset.create_groundtruth_database(max_sweeps=args.max_sweeps)
