@@ -1,0 +1,202 @@
+"""Composed whole-model forward parity: the reference's OWN torch IASSD
+(``/root/reference/pcdet/models/detectors/IASSD.py:8-20`` ->
+``pointnet2_modules.py:248-460`` -> ``IASSD_head.py:788-840``) run
+side-by-side with this repo's flax IASSD on the SAME weights and the SAME
+synthetic frame (round-2 verdict item 2).
+
+The reference's CUDA entry points are monkeypatched with the numpy spec
+twins from ``tests/reference_impls.py`` — the exact functions our jax ops
+are op-level parity-tested against — so any output delta isolates the
+COMPOSITION: MLP/BN stacks, sampling dispatch, vote clamp, center chains,
+box-coder decode. This is the strongest AP-parity proxy available without
+KITTI data on disk.
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+import jax
+import jax.numpy as jnp
+
+from spsnet_tpu.config import EDict, cfg_from_yaml_file
+from spsnet_tpu.models import build_detector
+from spsnet_tpu.utils import checkpoint_import as ci
+from spsnet_tpu.zoo import scale_sa_config
+from tests.reference_impls import fps_ref
+
+
+def _ball_query_np(radius, nsample, xyz, new_xyz):
+    """Vectorized twin of ``reference_impls.ball_query_ref`` (same semantics:
+    first-k hits in index order, first-hit pad, zeros when empty) — the
+    scalar spec is O(M*N) python and too slow at M=1024."""
+    B, M, _ = new_xyz.shape
+    idx = np.zeros((B, M, nsample), dtype=np.int32)
+    r2 = np.float32(radius) * np.float32(radius)
+    for b in range(B):
+        d = new_xyz[b][:, None, :].astype(np.float32) - \
+            xyz[b][None, :, :].astype(np.float32)
+        d2 = d[..., 0] * d[..., 0] + d[..., 1] * d[..., 1] + \
+            d[..., 2] * d[..., 2]
+        hit = d2 < r2
+        for m in range(M):
+            h = np.flatnonzero(hit[m])
+            if h.size == 0:
+                continue
+            take = h[:nsample]
+            idx[b, m, :] = take[0]
+            idx[b, m, :take.size] = take
+    return idx
+
+
+def _patch_reference_cuda_ops():
+    """Replace the reference's pointnet2_batch CUDA wrappers with numpy spec
+    twins (eval-path only: fps / gather / ball_query / grouping)."""
+    import importlib
+    pu = importlib.import_module(
+        'pcdet.ops.pointnet2.pointnet2_batch.pointnet2_utils')
+
+    def t_fps(xyz, npoint):
+        return torch.from_numpy(
+            fps_ref(xyz.detach().cpu().numpy(), int(npoint)))
+
+    def t_gather(features, idx):
+        f = features.detach().cpu().numpy()
+        i = idx.detach().cpu().numpy().astype(np.int64)
+        out = np.take_along_axis(f, i[:, None, :], axis=2)
+        return torch.from_numpy(out)
+
+    def t_ball_query(radius, nsample, xyz, new_xyz):
+        return torch.from_numpy(_ball_query_np(
+            float(radius), int(nsample),
+            xyz.detach().cpu().numpy(), new_xyz.detach().cpu().numpy()))
+
+    def t_group(features, idx):
+        f = features.detach().cpu().numpy()          # (B, C, N)
+        i = idx.detach().cpu().numpy().astype(np.int64)   # (B, M, K)
+        B = f.shape[0]
+        out = np.stack([f[b][:, i[b]] for b in range(B)])  # (B, C, M, K)
+        return torch.from_numpy(out)
+
+    pu.furthest_point_sample = t_fps
+    pu.gather_operation = t_gather
+    pu.ball_query = t_ball_query
+    pu.grouping_operation = t_group
+    return pu
+
+
+def _parity_cfg():
+    """Flagship IA-SSD.yaml with the sampling pyramid shrunk 4x (npoint is
+    pure config — weight shapes are untouched, so the state dict maps 1:1
+    to the full-size model)."""
+    cfg = EDict()
+    cfg_from_yaml_file('/root/repo/tools/cfgs/kitti_models/IA-SSD.yaml', cfg)
+    scale_sa_config(cfg.MODEL, 4)
+    return cfg
+
+
+@pytest.mark.slow
+def test_iassd_forward_parity_vs_reference():
+    from tests.reference_loader import build_reference_iassd
+    from spsnet_tpu.utils.synthetic import synthetic_scan_batch
+
+    cfg = _parity_cfg()
+    ref_model = build_reference_iassd(cfg.MODEL)
+    _patch_reference_cuda_ops()
+    ref_model.eval()
+
+    N = 4096
+    pts = synthetic_scan_batch(seed=3, batch_size=1,
+                               n_points=N).astype(np.float32)
+
+    pts5 = np.concatenate(
+        [np.zeros((N, 1), np.float32), pts[0]], axis=1)
+    bd = {'batch_size': 1, 'points': torch.from_numpy(pts5)}
+    with torch.no_grad():
+        for module in ref_model.module_list:
+            bd = module(bd)
+
+    ref_centers = bd['centers'].numpy()[:, 1:4]          # (M, 3)
+    ref_cls = bd['batch_cls_preds'].numpy()              # (M, 3)
+    ref_box = bd['batch_box_preds'].numpy()              # (M, 7)
+
+    # same weights into the flax model
+    params, stats, unmapped = ci.convert_reference_state_dict(
+        ref_model.state_dict())
+    assert not unmapped, unmapped
+    model = build_detector(cfg.MODEL, num_class=len(cfg.CLASS_NAMES))
+    jpts = jnp.asarray(pts)
+    variables = jax.jit(model.init, static_argnames='train')(
+        jax.random.PRNGKey(0), {'points': jpts}, train=False)
+    merged = ci.merge_into_variables(variables, params, stats,
+                                     strict_shapes=True)
+    out = model.apply(merged, {'points': jpts}, train=False)
+
+    our_centers = np.asarray(out['centers'])[0]
+    our_cls = np.asarray(out['batch_cls_preds'])[0]
+    our_box = np.asarray(out['batch_box_preds'])[0]
+
+    assert our_centers.shape == ref_centers.shape
+    assert our_box.shape == ref_box.shape
+
+    # the sampled-center chain must agree to float tolerance: identical
+    # D-FPS / ctr_aware picks, then vote-layer MLP offsets
+    np.testing.assert_allclose(our_centers, ref_centers, atol=2e-4,
+                               err_msg='sampling/vote chain diverged')
+    # head logits and decoded boxes
+    np.testing.assert_allclose(our_cls, ref_cls, atol=2e-3)
+    # decoded box centers/dims in meters; angle via bin decode
+    np.testing.assert_allclose(our_box[:, :6], ref_box[:, :6], atol=2e-3)
+    ang = np.abs(((our_box[:, 6] - ref_box[:, 6]) + np.pi) %
+                 (2 * np.pi) - np.pi)
+    assert ang.max() < 2e-3, f'heading delta {ang.max()}'
+
+
+@pytest.mark.slow
+def test_iassd_forward_parity_trained_bn_stats():
+    """Same comparison but with non-trivial BatchNorm running stats (fresh
+    init has mean=0/var=1, which would hide scale/offset mapping bugs):
+    run the torch model a few steps in train mode first so running stats
+    move, then compare eval forwards."""
+    from tests.reference_loader import build_reference_iassd
+    from spsnet_tpu.utils.synthetic import synthetic_scan_batch
+
+    cfg = _parity_cfg()
+    ref_model = build_reference_iassd(cfg.MODEL)
+    _patch_reference_cuda_ops()
+
+    N = 4096
+    warm = synthetic_scan_batch(seed=11, batch_size=1,
+                                n_points=N).astype(np.float32)
+    pts5 = np.concatenate([np.zeros((N, 1), np.float32), warm[0]], axis=1)
+
+    # train-mode forwards through the BACKBONE only (the head's train path
+    # needs gt targets): BN running stats accumulate real statistics
+    ref_model.train()
+    with torch.no_grad():
+        for _ in range(3):
+            bd = {'batch_size': 1, 'points': torch.from_numpy(pts5)}
+            ref_model.module_list[0](bd)
+
+    ref_model.eval()
+    pts = synthetic_scan_batch(seed=12, batch_size=1,
+                               n_points=N).astype(np.float32)
+    pts5 = np.concatenate([np.zeros((N, 1), np.float32), pts[0]], axis=1)
+    bd = {'batch_size': 1, 'points': torch.from_numpy(pts5)}
+    with torch.no_grad():
+        for module in ref_model.module_list:
+            bd = module(bd)
+    ref_box = bd['batch_box_preds'].numpy()
+
+    params, stats, _ = ci.convert_reference_state_dict(
+        ref_model.state_dict())
+    model = build_detector(cfg.MODEL, num_class=len(cfg.CLASS_NAMES))
+    jpts = jnp.asarray(pts)
+    variables = jax.jit(model.init, static_argnames='train')(
+        jax.random.PRNGKey(0), {'points': jpts}, train=False)
+    merged = ci.merge_into_variables(variables, params, stats,
+                                     strict_shapes=True)
+    out = model.apply(merged, {'points': jpts}, train=False)
+    our_box = np.asarray(out['batch_box_preds'])[0]
+
+    np.testing.assert_allclose(our_box[:, :6], ref_box[:, :6], atol=2e-3)
