@@ -29,6 +29,37 @@ import jax.numpy as jnp
 _BIG = 1e9
 
 
+def load_generator_checkpoint(ckpt_path):
+    """Restore frozen GenerateCenter variables from a checkpoint produced by
+    ``tools/train_stability.py`` (a ``CheckpointManager`` tree: numeric step
+    dirs each holding ``default/`` with ``{'state': TrainState}``). Accepts
+    the manager root (picks the newest step), a step dir, or a raw
+    StandardCheckpointer item dir; returns ``{'params', 'batch_stats'}``.
+    """
+    from pathlib import Path
+
+    import orbax.checkpoint as ocp
+
+    p = Path(ckpt_path).resolve()
+    if p.is_dir():
+        steps = [int(c.name) for c in p.iterdir()
+                 if c.is_dir() and c.name.isdigit()]
+        if steps:
+            p = p / str(max(steps))
+        if (p / 'default').is_dir():
+            p = p / 'default'
+    raw = ocp.StandardCheckpointer().restore(p)
+    state = raw.get('state', raw) if isinstance(raw, dict) else raw
+    if not isinstance(state, dict) or 'params' not in state:
+        raise ValueError(
+            f'unrecognized stability checkpoint layout at {ckpt_path}: '
+            f'top-level keys {list(state) if isinstance(state, dict) else state}')
+    gen_vars = {'params': state['params']}
+    if state.get('batch_stats'):
+        gen_vars['batch_stats'] = state['batch_stats']
+    return gen_vars
+
+
 @functools.partial(jax.jit, static_argnames=('delete_number', 'method'))
 def stability_delete_points(points, stds, fake_labels, rng,
                             delete_number: int = 500,

@@ -1,0 +1,148 @@
+"""The flagship SPSNet chain, end-to-end (round-2 verdict item 3):
+``tools/train_stability.py`` trains the CVAE stability regressor on the
+synthetic KITTI fixture -> orbax checkpoint -> ``STABILITY_HOOK.CKPT``
+restores the frozen generator inside the detector Trainer -> SPSNet trains
+a few steps with stds-driven point deletion -> evaluation produces a
+well-formed AP report. Covers the CKPT restore branch of
+``runtime/trainer.py:make_stability_preprocess`` (dead code in r2 tests).
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+from spsnet_tpu.config import EDict
+from spsnet_tpu.data.kitti.kitti_dataset import KittiDataset
+from spsnet_tpu.data.loader import DataLoader, ShardedSampler
+from spsnet_tpu.models import build_detector
+from spsnet_tpu.runtime.trainer import Trainer
+from spsnet_tpu.zoo import tiny_optimization_cfg, tiny_spsnet_cfg
+from tests.test_kitti_end2end import build_kitti_root, _dataset_cfg
+
+STAB_MODEL = {
+    'SF_FEATURE_DIM': 32, 'LATENT_DIM': 4,
+    'SA_CONFIG': {
+        'NPOINT_LIST': [[256]],
+        'SAMPLE_RANGE_LIST': [[-1]],
+        'SAMPLE_METHOD_LIST': [['D-FPS']],
+        'RADIUS_LIST': [[0.2, 0.8]],
+        'NSAMPLE_LIST': [[4, 8]],
+        'MLPS': [[[8, 8, 16], [8, 8, 16]]],
+        'LAYER_TYPE': ['SA_Layer'],
+        'DILATED_GROUP': [False],
+        'AGGREGATION_MLPS': [[32]],
+        'CONFIDENCE_MLPS': [[]],
+        'LAYER_INPUT': [0],
+        'CTR_INDEX': [-1],
+    },
+    'GENERATOR': {'LATENT_DIM': 4, 'PW_FEATURE_DIM': 32},
+    'TARGET_CONFIG': {'INS_AWARE_ASSIGN': True,
+                      'GT_EXTRA_WIDTH': [0.2, 0.2, 0.2]},
+    'LOSS_CONFIG': {'LOSS_REG': 'WeightedSmoothL1Loss',
+                    'LOSS_WEIGHTS': {'code_weights': [1.0, 1.0, 1.0]}},
+}
+
+
+def _plain(x):
+    if isinstance(x, dict):
+        return {k: _plain(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return [_plain(v) for v in x]
+    return x
+
+
+def _stability_yaml(root):
+    """Self-contained sf_unc-style config against the synthetic fixture."""
+    ds = _plain(_dataset_cfg(num_points=256))
+    ds['DATA_PATH'] = str(root)
+    return {
+        'CLASS_NAMES': ['Car', 'Pedestrian', 'Cyclist'],
+        'DATA_CONFIG': ds,
+        'MODEL': STAB_MODEL,
+        'OPTIMIZATION': {
+            'BATCH_SIZE_PER_GPU': 2, 'NUM_EPOCHS': 2,
+            'OPTIMIZER': 'adam', 'LR': 0.001, 'WEIGHT_DECAY': 0.01,
+            'MOMENTUM': 0.9, 'MOMS': [0.95, 0.85], 'PCT_START': 0.4,
+            'DIV_FACTOR': 10, 'DECAY_STEP_LIST': [1000], 'LR_DECAY': 0.1,
+            'LR_CLIP': 0.0000001, 'LR_WARMUP': False, 'WARMUP_EPOCH': 1,
+            'GRAD_NORM_CLIP': 10,
+        },
+    }
+
+
+@pytest.mark.slow
+def test_spsnet_stability_chain(tmp_path):
+    (tmp_path / 'kitti').mkdir()
+    root = build_kitti_root(tmp_path / 'kitti')
+
+    cfg_path = tmp_path / 'sf_unc_tiny.yaml'
+    cfg_path.write_text(yaml.safe_dump(_stability_yaml(root)))
+    out_dir = tmp_path / 'stab_out'
+
+    # stage 1: the stability CLI trains and checkpoints the CVAE
+    r = subprocess.run(
+        [sys.executable, 'tools/train_stability.py',
+         '--cfg_file', str(cfg_path), '--output_dir', str(out_dir),
+         '--batch_size', '2', '--epochs', '2', '--workers', '2'],
+        capture_output=True, text=True, cwd='/root/repo', timeout=1200,
+        env={**os.environ, 'JAX_PLATFORMS': 'cpu', 'SPSNET_PLATFORM': 'cpu'})
+    if r.returncode != 0:
+        print(r.stdout[-3000:])
+        print(r.stderr[-3000:])
+    assert r.returncode == 0
+    ckpt_dir = out_dir / 'ckpt'
+    assert ckpt_dir.is_dir() and any(
+        c.name.isdigit() for c in ckpt_dir.iterdir()), 'no checkpoint saved'
+
+    # restore helper returns frozen generator variables
+    from spsnet_tpu.stability.hook import load_generator_checkpoint
+    gen_vars = load_generator_checkpoint(ckpt_dir)
+    assert 'params' in gen_vars
+
+    # stage 2: detector training with the frozen generator via
+    # STABILITY_HOOK.CKPT (the restore branch, not random init)
+    class_names = ['Car', 'Pedestrian', 'Cyclist']
+    model_cfg = tiny_spsnet_cfg()
+    model_cfg.STABILITY_HOOK = EDict({
+        'CKPT': str(ckpt_dir), 'DELETE_NUMBER': 64,
+        'DELETE_METHOD': 'stability', 'MODEL': EDict(STAB_MODEL)})
+    cfg = EDict({'CLASS_NAMES': class_names, 'MODEL': model_cfg,
+                 'OPTIMIZATION': tiny_optimization_cfg()})
+    cfg.OPTIMIZATION.NUM_EPOCHS = 1
+
+    det_ds_cfg = _dataset_cfg(num_points=256)
+    # the delete hook keys off per-point fg labels (SPSNet requires the
+    # add_fake_sem_label processor — SURVEY.md §2.7 config-inconsistency note)
+    det_ds_cfg.DATA_PROCESSOR.append(EDict({'NAME': 'add_fake_sem_label'}))
+    train_ds = KittiDataset(det_ds_cfg, class_names,
+                            training=True, root_path=root)
+    sampler = ShardedSampler(len(train_ds), shuffle=True, drop_last=True)
+    loader = DataLoader(train_ds, batch_size=2, sampler=sampler,
+                        num_workers=2)
+
+    model = build_detector(cfg.MODEL, num_class=3)
+    trainer = Trainer(cfg, model, tmp_path / 'det_out',
+                      total_iters_each_epoch=len(loader))
+    assert trainer.preprocess is not None
+    state = trainer.init_state(next(iter(loader)))
+    state = trainer.train(loader, sampler=sampler, state=state)
+
+    # stage 3: evaluation through the same hook (stds + delete in eval too)
+    eval_ds = KittiDataset(det_ds_cfg, class_names,
+                           training=False, root_path=root)
+    eval_loader = DataLoader(eval_ds, batch_size=2, num_workers=2,
+                             drop_last=False)
+    det_annos, result_str, result_dict = trainer.evaluate(
+        eval_ds, eval_loader, state, class_names)
+    assert len(det_annos) == len(eval_ds)
+    assert 'Car_3d/moderate_R40' in result_dict
+    assert np.isfinite(result_dict['recall/rcnn_0.3'])
+
+
+def test_load_generator_checkpoint_rejects_garbage(tmp_path):
+    from spsnet_tpu.stability.hook import load_generator_checkpoint
+    with pytest.raises(Exception):
+        load_generator_checkpoint(tmp_path / 'nope')
