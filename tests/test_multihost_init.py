@@ -41,6 +41,28 @@ assert out == 12.0, out
 from jax.experimental import multihost_utils
 gathered = multihost_utils.process_allgather(np.array([pid], np.int32))
 assert sorted(gathered.ravel().tolist()) == [0, 1], gathered
+
+# distributed eval merge: each process dumps its det-annos shard, process 0
+# interleaves back into dataset order (runtime/trainer.py
+# _merge_results_multiprocess — the GSPMD analog of the reference's
+# common_utils.merge_results_dist)
+from pathlib import Path
+from types import SimpleNamespace
+from spsnet_tpu.runtime.trainer import Trainer
+annos = [{'frame_id': f'{2 * k + pid:06d}', 'score': k} for k in range(3)]
+if pid == 0:
+    annos.append({'frame_id': '000004', 'score': 99})   # ragged tail
+fake = SimpleNamespace(output_dir=Path(os.environ['SPSNET_MERGE_DIR']))
+merged = Trainer._merge_results_multiprocess(fake, annos)
+if pid == 0:
+    ids = [a['frame_id'] for a in merged]
+    assert ids == ['000000', '000001', '000002', '000003', '000004',
+                   '000005', '000004'], ids
+    deduped = Trainer._dedup_by_frame_id(merged)
+    assert [a['frame_id'] for a in deduped] == [
+        '000000', '000001', '000002', '000003', '000004', '000005'], deduped
+else:
+    assert merged is None
 print(f'proc {pid}: OK total={out}')
 """
 
@@ -55,6 +77,7 @@ def test_two_process_cpu_multihost(tmp_path):
     for pid in range(2):
         env = dict(os.environ,
                    SPSNET_REPO=str(REPO),
+                   SPSNET_MERGE_DIR=str(tmp_path),
                    JAX_COORDINATOR_ADDRESS=addr,
                    JAX_NUM_PROCESSES='2',
                    JAX_PROCESS_ID=str(pid),
