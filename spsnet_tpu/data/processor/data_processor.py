@@ -321,7 +321,11 @@ class DataProcessor:
         vs = np.asarray(self.voxel_size)
         grid_xyz = np.round((self.point_cloud_range[3:6] -
                              self.point_cloud_range[0:3]) / vs).astype(np.int64)
-        grid_zyx = grid_xyz[::-1]
+        # reference sparse z-shape padding: grid[::-1] + [1, 0, 0]
+        # (``spconv_backbone.py:76``) — must match the detector builder's
+        # ``final_grid_zyx`` derivation
+        grid_zyx = grid_xyz[::-1].copy()
+        grid_zyx[0] += 1
         plan = build_sparse_plan(
             data_dict['voxel_coords'], data_dict['voxel_valid'], grid_zyx,
             max_voxels_per_level=int(config.get(

@@ -85,8 +85,12 @@ def build_detector_from_cfg(cfg, **extra):
             span = np.asarray(pcr[3:6]) - np.asarray(pcr[0:3])
             grid_xyz = np.round(
                 span / np.asarray(kwargs['voxel_size'])).astype(np.int64)
-            kwargs.setdefault('final_grid_zyx',
-                              plan_final_grid(grid_xyz[::-1]))
+            # the reference pads the sparse z-shape by one empty slice
+            # (``spconv_backbone.py:76 sparse_shape = grid[::-1]+[1,0,0]``);
+            # KITTI z=40 -> 41 -> final nz=2, matching NUM_BEV_FEATURES 256
+            grid_zyx = grid_xyz[::-1].copy()
+            grid_zyx[0] += 1
+            kwargs.setdefault('final_grid_zyx', plan_final_grid(grid_zyx))
     kwargs.setdefault('class_names', list(cfg.CLASS_NAMES))
     return build_detector(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
                           **kwargs)

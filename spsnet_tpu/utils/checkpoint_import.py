@@ -1,9 +1,29 @@
 """Import reference (OpenPCDet/SPSNet) torch checkpoints into flax params.
 
 Lets a user of the PyTorch reference bring their trained ``.pth`` straight
-into this framework. Handles the IA-SSD / PAGNet / SPSNet point family
-(``pointnet2_batch/pointnet2_modules.py`` + ``IASSD_head.py`` parameter
-naming):
+into this framework.
+
+Families handled:
+
+- the IA-SSD / PAGNet / SPSNet point family (below);
+- the voxel/pillar/anchor family — ``PillarVFE`` pfn layers,
+  ``VoxelBackBone8x`` spconv stacks (all three on-disk spconv weight
+  layouts: 1.x ``(kz,ky,kx,Cin,Cout)``, 2.x implicit-gemm
+  ``(Cout,kz,ky,kx,Cin)``, 2.x native ``(kz,ky,kx,Cout,Cin)`` —
+  disambiguated via the sibling BatchNorm channel count, the same
+  adaptation the reference does in ``detector3d_template.py:338-367``),
+  ``BaseBEVBackbone`` conv/deconv pyramids, ``AnchorHeadSingle`` 1x1 heads;
+- the PV-RCNN two-stage additions — ``VoxelSetAbstraction`` stack-SA
+  layers, ``PointHeadSimple``, ``PVRCNNHead`` roi-grid pool + FC stacks.
+
+spconv weights flatten to this repo's host-planned sparse-conv layout: a
+Dense kernel of shape ``(K*C_in, C_out)`` whose tap order is the plan's
+lexicographic (kz, ky, kx) kernel enumeration
+(``data/processor/sparse_plan.py KERNEL3``/``spconv_down``) — identical to
+``weight.reshape(K*C_in, C_out)`` of the 1.x layout.
+
+Point-family naming (``pointnet2_batch/pointnet2_modules.py`` +
+``IASSD_head.py``):
 
 torch name                                      -> flax path
 backbone_3d.SA_modules.{i}.mlps.{s}.{3k}.weight -> backbone_3d/sa_{i}/mlp_{s}/Dense_{k}/kernel
@@ -44,6 +64,93 @@ def _dense_kernel(w):
     return np.ascontiguousarray(w.T)
 
 
+def _conv2d_kernel(w):
+    """torch Conv2d weight (out, in, kh, kw) -> flax Conv (kh, kw, in, out)."""
+    w = np.asarray(w, dtype=np.float32)
+    assert w.ndim == 4, f'expected 4-D conv weight, got {w.shape}'
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _convT2d_kernel(w):
+    """torch ConvTranspose2d weight (in, out, kh, kw) -> flax ConvTranspose
+    kernel (kh, kw, in, out), SPATIALLY FLIPPED: torch's op is the true
+    conv gradient (flipped kernel) while flax's default
+    ``transpose_kernel=False`` dilates without flipping — verified
+    numerically in test_checkpoint_import_zoo.py."""
+    w = np.asarray(w, dtype=np.float32)
+    assert w.ndim == 4, f'expected 4-D deconv weight, got {w.shape}'
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1))[::-1, ::-1])
+
+
+def _spconv_kernel(w, c_out):
+    """spconv 3-D conv weight (any of the three on-disk layouts) ->
+    host-planned Dense kernel (K*C_in, C_out). ``c_out`` comes from the
+    sibling BatchNorm and disambiguates the layout (the reference's own
+    1.x->2.x adaptation needs the model state for the same reason,
+    ``detector3d_template.py:345-356``). Square-channel 1.x-vs-native
+    ambiguity resolves to 1.x, the layout OpenPCDet-era checkpoints ship."""
+    w = np.asarray(w, dtype=np.float32)
+    if w.ndim != 5:
+        raise ImportError3D(f'expected 5-D spconv weight, got {w.shape}')
+    if w.shape[-1] == c_out:
+        pass                                    # 1.x (kz, ky, kx, Cin, Cout)
+    elif w.shape[0] == c_out:
+        w = np.transpose(w, (1, 2, 3, 4, 0))    # implicit (Cout, k..., Cin)
+    elif w.shape[-2] == c_out:
+        w = np.transpose(w, (0, 1, 2, 4, 3))    # native (k..., Cout, Cin)
+    else:
+        raise ImportError3D(
+            f'no spconv layout of {w.shape} has C_out={c_out}')
+    K = w.shape[0] * w.shape[1] * w.shape[2]
+    return np.ascontiguousarray(w.reshape(K * w.shape[3], w.shape[4]))
+
+
+def _put_named_bn(put, params, stats, base, leaf, t):
+    """BN leaves for an explicitly-named flax BatchNorm module (scale/bias
+    live directly under ``base``)."""
+    if leaf == 'weight':
+        put(params, base + ['scale'], t)
+    elif leaf == 'bias':
+        put(params, base + ['bias'], t)
+    elif leaf == 'running_mean':
+        put(stats, base + ['mean'], t)
+    elif leaf == 'running_var':
+        put(stats, base + ['var'], t)
+    elif leaf == 'num_batches_tracked':
+        pass
+    else:
+        raise ImportError3D(leaf)
+
+
+def _seq_layout(state_dict):
+    """(prefix, idx) -> ('dense'|'final'|'bn', k) for every torch Sequential
+    in the state dict, computed from the dict itself. Dropout-robust: k is
+    the RANK of the layer among its kind within the Sequential (the
+    reference's RoI-head ``make_fc_layers`` interleaves ``nn.Dropout`` after
+    the first block, ``roi_head_template.py:39-40``, which shifts raw
+    indices). A conv is 'final' iff it is the last conv of its Sequential
+    AND carries a bias — the biased output conv of every reference fc
+    builder (non-final convs are ``bias=False`` + BN)."""
+    groups = {}
+    for name, tensor in state_dict.items():
+        m = re.match(r'(.+)\.(\d+)\.weight$', name)
+        if not m:
+            continue
+        pre, idx = m.group(1), int(m.group(2))
+        ndim = np.asarray(getattr(tensor, 'numpy', lambda: tensor)()).ndim
+        groups.setdefault(pre, {}).setdefault(
+            'dense' if ndim >= 2 else 'bn', []).append(idx)
+    layout = {}
+    for pre, kinds in groups.items():
+        convs = sorted(kinds.get('dense', []))
+        for k, idx in enumerate(convs):
+            final = idx == convs[-1] and f'{pre}.{idx}.bias' in state_dict
+            layout[(pre, idx)] = ('final', 0) if final else ('dense', k)
+        for k, idx in enumerate(sorted(kinds.get('bn', []))):
+            layout[(pre, idx)] = ('bn', k)
+    return layout
+
+
 def _seq_index(layers_prefix, idx, is_final):
     """Map a torch Sequential index to (kind, k): Conv at 3k, BN at 3k+1,
     ReLU at 3k+2 (absent from state_dict); final biased conv at the end."""
@@ -56,12 +163,24 @@ def _seq_index(layers_prefix, idx, is_final):
     raise ImportError3D(f'unexpected sequential index {idx} in {layers_prefix}')
 
 
-def convert_reference_state_dict(state_dict, allow_partial=False):
+def convert_reference_state_dict(state_dict, allow_partial=False,
+                                 pfe_sa_sources=('x_conv1', 'x_conv2',
+                                                 'x_conv3', 'x_conv4')):
     """torch state_dict (name -> tensor/ndarray) -> (params, batch_stats)
-    nested dicts mergeable into a flax variables tree."""
+    nested dicts mergeable into a flax variables tree.
+
+    ``pfe_sa_sources``: feature-source name per ``pfe.SA_layers`` index —
+    the reference registers VoxelSetAbstraction SA layers as an anonymous
+    ModuleList ordered by ``FEATURES_SOURCE`` minus bev/raw_points
+    (``voxel_set_abstraction.py:134-153``) while our flax modules are named
+    by source (``pfe/{src}_mlp_{s}``); the order is not recoverable from the
+    state dict alone. The default matches the KITTI pv_rcnn.yaml (all four
+    conv levels); Waymo PV-RCNN checkpoints need ('x_conv3', 'x_conv4').
+    """
     params = {}
     stats = {}
     unmapped = []
+    seq_layout = _seq_layout(state_dict)
 
     def put(tree, path, value):
         node = tree
@@ -127,6 +246,153 @@ def convert_reference_state_dict(state_dict, allow_partial=False):
                 kind, k = _seq_index(name, idx, is_final)
                 base = ['point_head', _HEAD_MAP[parts[1]]]
                 _put_head_layer(put, params, stats, base, kind, k, leaf, t)
+            elif parts[0] == 'vfe' and parts[1] == 'pfn_layers':
+                i, sub, leaf = int(parts[2]), parts[3], parts[4]
+                base = ['vfe', f'pfn_{i}']
+                if sub == 'linear':
+                    if leaf == 'weight':
+                        put(params, base + ['Dense_0', 'kernel'],
+                            _dense_kernel(t))
+                    else:
+                        put(params, base + ['Dense_0', 'bias'], t)
+                elif sub == 'norm':
+                    _put_layer(put, params, stats, base, 'bn', 0, leaf, t)
+                else:
+                    raise ImportError3D(name)
+            elif parts[0] == 'backbone_3d' and (
+                    parts[1] in ('conv_input', 'conv_out')
+                    or re.fullmatch(r'conv[1-4]', parts[1])):
+                if parts[1] in ('conv_input', 'conv_out'):
+                    flax_name, idx, leaf = parts[1], int(parts[2]), parts[3]
+                else:
+                    n, b = parts[1][-1], int(parts[2])
+                    idx, leaf = int(parts[3]), parts[4]
+                    if n == '1' and b == 0:
+                        flax_name = 'conv1'
+                    elif b == 0:
+                        flax_name = f'conv{n}_down'
+                    elif b in (1, 2):
+                        flax_name = f'conv{n}_{"ab"[b - 1]}'
+                    else:
+                        raise ImportError3D(name)
+                base = ['backbone_3d', flax_name]
+                if idx == 0:                       # the spconv weight
+                    bn_key = '.'.join(parts[:-2] + ['1', 'weight'])
+                    if bn_key not in state_dict:
+                        raise ImportError3D(f'no sibling BN for {name}')
+                    c_out = int(np.asarray(getattr(
+                        state_dict[bn_key], 'numpy',
+                        lambda: state_dict[bn_key])()).shape[0])
+                    put(params, base + ['Dense_0', 'kernel'],
+                        _spconv_kernel(t, c_out))
+                elif idx == 1:                     # the BN
+                    _put_layer(put, params, stats, base, 'bn', 0, leaf, t)
+                else:
+                    raise ImportError3D(name)
+            elif parts[0] == 'backbone_2d' and parts[1] == 'blocks':
+                i, idx, leaf = int(parts[2]), int(parts[3]), parts[4]
+                # Sequential: [ZeroPad2d, Conv, BN, ReLU, (Conv, BN, ReLU)*n]
+                if idx == 1:
+                    put(params, ['backbone_2d', f'block{i}_down', 'kernel'],
+                        _conv2d_kernel(t))
+                elif idx == 2:
+                    _put_named_bn(put, params, stats,
+                                  ['backbone_2d', f'block{i}_down_bn'],
+                                  leaf, t)
+                elif idx >= 4 and (idx - 4) % 3 == 0:
+                    put(params,
+                        ['backbone_2d', f'block{i}_conv{(idx - 4) // 3}',
+                         'kernel'], _conv2d_kernel(t))
+                elif idx >= 5 and (idx - 5) % 3 == 0:
+                    _put_named_bn(put, params, stats,
+                                  ['backbone_2d',
+                                   f'block{i}_bn{(idx - 5) // 3}'], leaf, t)
+                else:
+                    raise ImportError3D(name)
+            elif parts[0] == 'backbone_2d' and parts[1] == 'deblocks':
+                i, idx, leaf = int(parts[2]), int(parts[3]), parts[4]
+                if idx == 0:
+                    # ConvTranspose2d (in, out, kh, kw) for stride >= 1;
+                    # plain Conv2d (out, in, kh, kw) for fractional strides.
+                    # Disambiguate via the sibling BN's C_out; square
+                    # channels default to ConvTranspose (every shipped
+                    # config's case).
+                    bn_key = '.'.join(parts[:-2] + ['1', 'weight'])
+                    c_out = int(np.asarray(getattr(
+                        state_dict[bn_key], 'numpy',
+                        lambda: state_dict[bn_key])()).shape[0]) \
+                        if bn_key in state_dict else t.shape[1]
+                    if t.shape[1] == c_out:
+                        k = _convT2d_kernel(t)
+                    elif t.shape[0] == c_out:
+                        k = _conv2d_kernel(t)
+                    else:
+                        raise ImportError3D(
+                            f'{name}: neither conv layout has C_out={c_out}')
+                    put(params, ['backbone_2d', f'deblock{i}', 'kernel'], k)
+                elif idx == 1:
+                    _put_named_bn(put, params, stats,
+                                  ['backbone_2d', f'deblock{i}_bn'], leaf, t)
+                else:
+                    raise ImportError3D(name)
+            elif parts[0] == 'pfe':
+                if parts[1] == 'SA_rawpoints' and parts[2] == 'mlps':
+                    s, idx, leaf = int(parts[3]), int(parts[4]), parts[5]
+                    kind, k = seq_layout['.'.join(parts[:4]), idx]
+                    _put_layer(put, params, stats, ['pfe', f'raw_mlp_{s}'],
+                               kind, k, leaf, t)
+                elif parts[1] == 'SA_layers' and parts[3] == 'mlps':
+                    i, s = int(parts[2]), int(parts[4])
+                    idx, leaf = int(parts[5]), parts[6]
+                    if i >= len(pfe_sa_sources):
+                        raise ImportError3D(
+                            f'{name}: SA_layers index {i} beyond '
+                            f'pfe_sa_sources {pfe_sa_sources}')
+                    kind, k = seq_layout['.'.join(parts[:5]), idx]
+                    base = ['pfe', f'{pfe_sa_sources[i]}_mlp_{s}']
+                    _put_layer(put, params, stats, base, kind, k, leaf, t)
+                elif parts[1] == 'vsa_point_feature_fusion':
+                    idx, leaf = int(parts[2]), parts[3]
+                    kind, k = seq_layout['.'.join(parts[:2]), idx]
+                    _put_layer(put, params, stats,
+                               ['pfe', 'vsa_point_feature_fusion'],
+                               kind, k, leaf, t)
+                else:
+                    raise ImportError3D(name)
+            elif parts[0] == 'point_head' and parts[1] == 'cls_layers':
+                # PointHeadSimple (PV-RCNN keypoint segmentation head)
+                idx, leaf = int(parts[2]), parts[3]
+                kind, k = seq_layout['.'.join(parts[:2]), idx]
+                _put_head_layer(put, params, stats,
+                                ['point_head', 'cls_layers'], kind, k,
+                                leaf, t)
+            elif parts[0] == 'roi_head':
+                if parts[1] == 'roi_grid_pool_layer' and parts[2] == 'mlps':
+                    s, idx, leaf = int(parts[3]), int(parts[4]), parts[5]
+                    kind, k = seq_layout['.'.join(parts[:4]), idx]
+                    _put_layer(put, params, stats,
+                               ['roi_head', f'pool_mlp_{s}'], kind, k,
+                               leaf, t)
+                elif parts[1] == 'shared_fc_layer':
+                    idx, leaf = int(parts[2]), parts[3]
+                    kind, k = seq_layout['.'.join(parts[:2]), idx]
+                    _put_layer(put, params, stats, ['roi_head', 'shared_fc'],
+                               kind, k, leaf, t)
+                elif parts[1] in ('cls_layers', 'reg_layers'):
+                    idx, leaf = int(parts[2]), parts[3]
+                    kind, k = seq_layout['.'.join(parts[:2]), idx]
+                    _put_head_layer(put, params, stats,
+                                    ['roi_head', parts[1]], kind, k, leaf, t)
+                else:
+                    raise ImportError3D(name)
+            elif parts[0] == 'dense_head' and parts[1] in (
+                    'conv_cls', 'conv_box', 'conv_dir_cls'):
+                leaf = parts[2]
+                if leaf == 'weight':
+                    put(params, ['dense_head', parts[1], 'kernel'],
+                        _conv2d_kernel(t))
+                else:
+                    put(params, ['dense_head', parts[1], 'bias'], t)
             elif 'num_batches_tracked' in name or parts[0] in (
                     'global_step',):
                 continue

@@ -206,6 +206,143 @@ def build_reference_iassd(model_cfg, class_names=('Car', 'Pedestrian',
                            dataset=_FakeDataset())
 
 
+def _install_param_spconv():
+    """Replace the raising spconv stubs with torch Modules that register
+    parameters in spconv's on-disk layout — enough to instantiate the
+    reference's voxel detectors on CPU and read their REAL state-dict key
+    names/shapes (the forward path stays unavailable)."""
+    import torch
+    import torch.nn as nn
+
+    def _triple(k):
+        return tuple(k) if isinstance(k, (tuple, list)) else (k,) * 3
+
+    class _FakeSparseConvBase(nn.Module):
+        def __init__(self, in_channels, out_channels, kernel_size,
+                     stride=1, padding=0, bias=False, indice_key=None,
+                     **kwargs):
+            super().__init__()
+            ks = _triple(kernel_size)
+            # spconv 1.x on-disk layout (kz, ky, kx, Cin, Cout)
+            self.weight = nn.Parameter(
+                torch.randn(*ks, in_channels, out_channels) * 0.05)
+            if bias:
+                self.bias = nn.Parameter(torch.zeros(out_channels))
+
+        def forward(self, *a, **k):
+            raise RuntimeError('fake spconv module: state-dict only')
+
+    class _FakeSparseSequential(nn.Sequential):
+        pass
+
+    attrs = dict(SubMConv3d=_FakeSparseConvBase,
+                 SparseConv3d=_FakeSparseConvBase,
+                 SparseInverseConv3d=_FakeSparseConvBase,
+                 SparseSequential=_FakeSparseSequential,
+                 SparseModule=nn.Module)
+    for mod_name in ('spconv', 'spconv.pytorch'):
+        _stub(mod_name, **attrs)
+
+
+def _fake_dataset(class_names, num_point_features=4):
+    import numpy as np
+
+    class _FakeEncoder:
+        pass
+
+    _FakeEncoder.num_point_features = num_point_features
+
+    class _FakeDataset:
+        pass
+
+    _FakeDataset.class_names = list(class_names)
+    _FakeDataset.point_feature_encoder = _FakeEncoder()
+    _FakeDataset.grid_size = np.array([1408, 1600, 40])
+    _FakeDataset.point_cloud_range = np.array([0, -40, -3, 70.4, 40, 1],
+                                              dtype=np.float32)
+    _FakeDataset.voxel_size = [0.05, 0.05, 0.1]
+    _FakeDataset.depth_downsample_factor = None
+    return _FakeDataset()
+
+
+def build_reference_detector(detector_module, detector_class, model_cfg,
+                             class_names=('Car', 'Pedestrian', 'Cyclist'),
+                             num_point_features=4, dataset=None,
+                             upstream_topology=True):
+    """Instantiate any reference detector class on CPU (random init) for
+    state-dict layout tests: spconv modules are parameter-registering fakes
+    (1.x weight layout), CUDA exts stay stubbed. E.g.
+    ``build_reference_detector('second_net', 'SECONDNet', cfg.MODEL)``.
+
+    ``upstream_topology``: the SPSNet fork reorders ``module_topology`` to
+    run map_to_bev BEFORE backbone_3d (``detector3d_template.py:23-26``, for
+    PAGNet_encoding) — which poisons every voxel backbone's input_channels
+    with ``num_bev_features + 3`` (e.g. SECOND conv_input 259 instead of 4,
+    ``detector3d_template.py:78``): a latent fork defect for from-scratch
+    voxel training. Published zoo checkpoints were trained with upstream
+    OpenPCDet's order (backbone_3d first), so layout tests default to it."""
+    load_reference_pcdet()
+    _stub('pcdet.ops.pointnet2.pointnet2_batch.pointnet2_batch_cuda')
+    _stub('pcdet.ops.pointnet2.pointnet2_stack.pointnet2_stack_cuda')
+    _install_param_spconv()
+
+    def _unavailable(*a, **k):
+        raise RuntimeError('stub: not available on CPU')
+
+    _stub('torch_scatter', scatter_max=_unavailable,
+          scatter_mean=_unavailable, scatter_add=_unavailable,
+          scatter=_unavailable)
+    _stub('kornia')
+    _stub('surface_uncertainty')
+    _stub('surface_uncertainty.model',
+          Generate_center=type('Generate_center', (), {}))
+
+    for pkg, path in [
+        ('pcdet.models', f'{REFERENCE_ROOT}/pcdet/models'),
+        ('pcdet.models.detectors', f'{REFERENCE_ROOT}/pcdet/models/detectors'),
+        ('pcdet.ops.pointnet2', f'{REFERENCE_ROOT}/pcdet/ops/pointnet2'),
+        ('pcdet.ops.pointnet2.pointnet2_batch',
+         f'{REFERENCE_ROOT}/pcdet/ops/pointnet2/pointnet2_batch'),
+        ('pcdet.ops.pointnet2.pointnet2_stack',
+         f'{REFERENCE_ROOT}/pcdet/ops/pointnet2/pointnet2_stack'),
+    ]:
+        mod = _stub(pkg)
+        if not hasattr(mod, '__path__'):
+            mod.__path__ = [path]
+
+    import importlib
+    for pkg in ('pcdet.models.dense_heads',):
+        mod = sys.modules.get(pkg)
+        if mod is not None and not hasattr(mod, '__all__'):
+            del sys.modules[pkg]
+            importlib.import_module(pkg)
+
+    det_mod = importlib.import_module(
+        f'pcdet.models.detectors.{detector_module}')
+    cls = getattr(det_mod, detector_class)
+    if upstream_topology:
+        tmpl_mod = importlib.import_module(
+            'pcdet.models.detectors.detector3d_template')
+        orig_build = tmpl_mod.Detector3DTemplate.build_networks
+
+        def build_upstream(self):
+            self.module_topology = [
+                'vfe', 'backbone_3d', 'map_to_bev_module', 'pfe',
+                'backbone_2d', 'dense_head', 'point_head', 'roi_head']
+            return orig_build(self)
+
+        tmpl_mod.Detector3DTemplate.build_networks = build_upstream
+        try:
+            return cls(model_cfg=model_cfg, num_class=len(class_names),
+                       dataset=dataset or _fake_dataset(
+                           class_names, num_point_features))
+        finally:
+            tmpl_mod.Detector3DTemplate.build_networks = orig_build
+    return cls(model_cfg=model_cfg, num_class=len(class_names),
+               dataset=dataset or _fake_dataset(
+                   class_names, num_point_features))
+
+
 def load_reference_kitti_eval():
     """Load the reference's KITTI evaluator (`kitti_object_eval_python/eval.py`)
     as pure Python: numba decorators are identity-stubbed (see above) and the

@@ -20,8 +20,47 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def train_tiny(jax, jnp, steps=800):
-    """Overfit tiny IA-SSD on structured synthetic scenes so the comparison
+def fixture_scene_batch(seed, batch_size, n_points, n_gt=8, n_per_obj=400):
+    """Compact car scenes in the style of tests/test_kitti_end2end.py's
+    overfit fixture (the one scene family a tiny IA-SSD is PROVEN to learn
+    to detect on): background in the FOV x in [4, 24] m plus a dense
+    100+-point cluster inside each car-sized gt box."""
+    rng = np.random.default_rng(seed)
+    all_pts, all_gt = [], []
+    slots = [(x, y) for x in (8.0, 13.0, 18.0)
+             for y in (-6.75, -2.25, 2.25, 6.75)]
+    for _ in range(batch_size):
+        picks = rng.permutation(len(slots))[:n_gt]
+        gt = np.zeros((n_gt, 8), dtype=np.float32)
+        gt[:, 0] = [slots[p][0] for p in picks]
+        gt[:, 1] = [slots[p][1] for p in picks]
+        gt[:, :2] += rng.uniform(-0.4, 0.4, (n_gt, 2))
+        gt[:, 2] = rng.uniform(-1.0, -0.5, n_gt)
+        gt[:, 3:6] = [3.9, 1.6, 1.56]
+        gt[:, 6] = rng.uniform(-0.3, 0.3, n_gt)
+        gt[:, 7] = 1.0                                  # class Car
+        n_obj = n_per_obj * n_gt
+        n_bg = n_points - n_obj
+        pts = np.zeros((n_points, 4), dtype=np.float32)
+        pts[:n_bg, 0] = rng.uniform(4, 24, n_bg)
+        pts[:n_bg, 1] = pts[:n_bg, 0] * rng.uniform(-0.5, 0.5, n_bg)
+        pts[:n_bg, 2] = rng.uniform(-1.5, 0.5, n_bg)
+        for k in range(n_gt):
+            sl = slice(n_bg + k * n_per_obj, n_bg + (k + 1) * n_per_obj)
+            local = rng.uniform(-0.25, 0.25, (n_per_obj, 3)) * gt[k, 3:6]
+            c, s = np.cos(gt[k, 6]), np.sin(gt[k, 6])
+            rot = local.copy()
+            rot[:, 0] = local[:, 0] * c - local[:, 1] * s
+            rot[:, 1] = local[:, 0] * s + local[:, 1] * c
+            pts[sl, :3] = gt[k, :3] + rot
+        pts[:, 3] = rng.uniform(0, 1, n_points)
+        all_pts.append(pts)
+        all_gt.append(gt)
+    return np.stack(all_pts), np.stack(all_gt)
+
+
+def train_tiny(jax, jnp, steps=600):
+    """Overfit tiny IA-SSD on fixture-style car scenes so the comparison
     runs on a TRAINED score landscape — on an untrained net every bin/score
     is near-tied and argmax flips chaotically amplify tiny feature deltas,
     telling us nothing about deployed behavior."""
@@ -31,12 +70,22 @@ def train_tiny(jax, jnp, steps=800):
     from spsnet_tpu.models import build_detector
     from spsnet_tpu.parallel.mesh import make_mesh, shard_batch
     from spsnet_tpu.runtime.trainer import Trainer, device_batch
-    from spsnet_tpu.utils.synthetic import synthetic_scene_batch
-    from spsnet_tpu.zoo import scale_sa_config, tiny_optimization_cfg
+    from spsnet_tpu.zoo import tiny_iassd_cfg, tiny_optimization_cfg
 
-    from spsnet_tpu.zoo import iassd_kitti_cfg
-    model_cfg = scale_sa_config(iassd_kitti_cfg().MODEL, 4)  # N/4 sampling
+    # the overfit test's proven recipe, scaled x4 to N=4096 frames: widened
+    # sampling pyramid (in-box candidates survive every level), [64] FC
+    # heads, constant-LR adam (the onecycle peak kicks tiny models into the
+    # all-background attractor)
+    model_cfg = tiny_iassd_cfg()
+    model_cfg.BACKBONE_3D.SA_CONFIG.NPOINT_LIST = \
+        [[1024], [512], [256], [128], [-1], [128]]
+    model_cfg.POINT_HEAD.CLS_FC = [64]
+    model_cfg.POINT_HEAD.REG_FC = [64]
+    model_cfg.POST_PROCESSING.SCORE_THRESH = 0.01
     opt = tiny_optimization_cfg()
+    opt.OPTIMIZER = 'adam'
+    opt.LR = 0.001
+    opt.DECAY_STEP_LIST = [100000]
     cfg = EDict({'CLASS_NAMES': ['Car', 'Pedestrian', 'Cyclist'],
                  'MODEL': model_cfg, 'OPTIMIZATION': opt})
     model = build_detector(cfg.MODEL, num_class=3)
@@ -45,21 +94,74 @@ def train_tiny(jax, jnp, steps=800):
                       total_iters_each_epoch=steps, mesh=mesh)
 
     B, N = 4, 4096
-    pts, gt = synthetic_scene_batch(seed=3, batch_size=B, n_points=N,
-                                    n_clusters=12)
-    batch = {'points': pts.astype(np.float32), 'gt_boxes': gt}
+    pts, gt = fixture_scene_batch(seed=3, batch_size=B, n_points=N)
+    pts = pts.astype(np.float32)
+    batch = {'points': pts, 'gt_boxes': gt}
     state = trainer.init_state(batch)
-    db = shard_batch(device_batch(batch), mesh)
+    # Per-step 2 cm coordinate jitter: without it the toy net MEMORISES the
+    # exact neighbor sets of each point and any slot substitution (the very
+    # thing approx-top-k does) produces metre-scale deltas — a memorisation
+    # artifact, not deployment behavior. Jitter forces neighbor-robust
+    # features, the regime a net trained on real variative data lives in.
+    jitter_rng = np.random.default_rng(11)
+    # held-out evaluation copy (same scenes, unseen jitter draw)
+    eval_pts = pts.copy()
+    eval_pts[..., :3] += jitter_rng.normal(
+        0, 0.02, pts[..., :3].shape).astype(np.float32)
+    points_dev = jnp.asarray(eval_pts)
+
+    # On this 4-scene toy problem the detecting solution is a TRANSIENT:
+    # the all-background equilibrium is a lower-loss attractor (see
+    # test_train_to_overfit's harness notes — a property of the reference's
+    # 1/pos_num loss weighting, faithfully replicated). Snapshot the peak
+    # DETECTING state — the one whose confident candidates cover the most gt
+    # boxes (a diffuse everything-slightly-positive landscape covers gts no
+    # better than a background one) — and run exact-vs-approx on THAT.
+    gt_centers = jnp.asarray(gt[..., :3])            # (B, n_gt, 3)
+
+    @jax.jit
+    def peek_coverage(params, batch_stats, points):
+        out = model.apply({'params': params, 'batch_stats': batch_stats},
+                          {'points': points}, train=False)
+        score = jax.nn.sigmoid(out['batch_cls_preds']).max(axis=-1)  # (B,M)
+        centers = out['batch_box_preds'][..., :3]
+        d = jnp.linalg.norm(gt_centers[:, :, None, :]
+                            - centers[:, None, :, :], axis=-1)  # (B,G,M)
+        near_conf = (d < 1.5) & (score[:, None, :] > 0.05)
+        return near_conf.any(axis=-1).sum(), score.max()
+
     first = last = None
+    best = {'covered': 0, 'step': -1, 'vars': None}
+    history = []
     for i in range(steps):
+        jittered = pts.copy()
+        jittered[..., :3] += jitter_rng.normal(
+            0, 0.02, pts[..., :3].shape).astype(np.float32)
+        db = shard_batch(device_batch(
+            {'points': jittered, 'gt_boxes': gt}), mesh)
         state, metrics = trainer.train_step(state, db)
         if i == 0:
             first = float(metrics['loss'])
+        if (i + 1) % 25 == 0:
+            covered, smax = peek_coverage(state.params, state.batch_stats,
+                                          points_dev)
+            covered = int(np.asarray(covered))
+            history.append(covered)
+            if covered > best['covered']:
+                best = {'covered': covered, 'step': i + 1,
+                        'vars': {'params': jax.device_get(state.params),
+                                 'batch_stats':
+                                     jax.device_get(state.batch_stats)}}
     last = float(metrics['loss'])
-    print(json.dumps({'train_loss_first': first, 'train_loss_last': last}))
-    variables = {'params': jax.device_get(state.params),
-                 'batch_stats': jax.device_get(state.batch_stats)}
-    return model, variables, cfg, jnp.asarray(pts.astype(np.float32))
+    print(json.dumps({'train_loss_first': first, 'train_loss_last': last,
+                      'peak_gt_covered': best['covered'],
+                      'n_gt_total': int(np.prod(gt.shape[:2])),
+                      'peak_step': best['step'],
+                      'coverage_history': history}))
+    variables = best['vars'] if best['vars'] is not None else {
+        'params': jax.device_get(state.params),
+        'batch_stats': jax.device_get(state.batch_stats)}
+    return model, variables, cfg, points_dev
 
 
 def main():
@@ -98,8 +200,9 @@ def main():
             out = model.apply(variables, {'points': points}, train=False)
             dets = class_agnostic_nms_batch(
                 out['batch_box_preds'], out['batch_cls_preds'],
-                score_thresh=0.02,  # low cutoff: compare detections, not the
-                # config threshold (tiny trained net scores sit lower)
+                score_thresh=0.01,  # low cutoff: compare detections, not the
+                # config threshold (tiny trained net scores sit lower —
+                # same operating point as test_train_to_overfit)
                 nms_thresh=float(post.NMS_CONFIG.NMS_THRESH),
                 nms_pre=int(post.NMS_CONFIG.NMS_PRE_MAXSIZE),
                 nms_post=int(post.NMS_CONFIG.NMS_POST_MAXSIZE))
@@ -121,21 +224,29 @@ def main():
     score_delta = np.abs(score_e - 1 / (1 + np.exp(-cls_a))).max()
     # raw deltas over ALL candidate centers include background points whose
     # regressions are meaningless noise; restrict to confident candidates
-    conf = score_e.max(axis=-1) > 0.02
+    conf = score_e.max(axis=-1) > 0.01
     conf_center_delta = center_delta[conf] if conf.any() else np.zeros(1)
 
     # detection-level agreement: for each exact NMS detection, distance to
     # the nearest approx detection (Chamfer matching — positional slot
     # comparison is meaningless when near-tied scores reorder the list)
-    match_deltas = []
+    match_deltas, conf_match_deltas = [], []
     for b in range(B):
         ne, na = int(det_e['count'][b]), int(det_a['count'][b])
         if ne and na:
             d = np.linalg.norm(
                 det_e['boxes'][b, :ne, None, :3]
                 - det_a['boxes'][b, None, :na, :3], axis=-1)
-            match_deltas.append(d.min(axis=1))
+            md = d.min(axis=1)
+            match_deltas.append(md)
+            # deployment-relevant subset: exact detections at the full-scale
+            # operating point (score >= 0.1)
+            strong = np.asarray(det_e['scores'][b, :ne]) >= 0.1
+            if strong.any():
+                conf_match_deltas.append(md[strong])
     match = np.concatenate(match_deltas) if match_deltas else np.zeros(1)
+    conf_match = (np.concatenate(conf_match_deltas)
+                  if conf_match_deltas else np.zeros(1))
 
     # threshold-free: Chamfer over the top-K raw candidates ranked by each
     # run's own max class score (what NMS would consume first)
@@ -153,6 +264,11 @@ def main():
 
     print(json.dumps({
         'backend': jax.default_backend(),
+        # valid=false means the tiny net produced no detections and the
+        # NMS-match rows are vacuous fallbacks — rerun, don't cite
+        'valid': bool(conf.any() and det_e['count'].sum() > 0
+                      and det_a['count'].sum() > 0),
+        'max_score_exact': float(score_e.max()),
         'n_confident_centers': int(conf.sum()),
         'confident_center_delta_mean_m': float(conf_center_delta.mean()),
         'confident_center_delta_max_m': float(conf_center_delta.max()),
@@ -162,6 +278,9 @@ def main():
         'nms_match_delta_mean_m': float(match.mean()),
         'nms_match_delta_p99_m': float(np.percentile(match, 99)),
         'nms_unmatched_over_0p5m_frac': float((match > 0.5).mean()),
+        'strong_det_match_delta_mean_m': float(conf_match.mean()),
+        'strong_det_match_delta_max_m': float(conf_match.max()),
+        'n_strong_dets': int(sum(len(x) for x in conf_match_deltas)),
         'top50_chamfer_mean_m': float(topk.mean()),
         'top50_chamfer_p99_m': float(np.percentile(topk, 99)),
         'top50_over_0p5m_frac': float((topk > 0.5).mean()),
