@@ -14,6 +14,7 @@ from pathlib import Path
 import numpy as np
 
 from ..dataset import DatasetTemplate
+from .nuscenes_utils import default_attribute
 
 
 class NuScenesDataset(DatasetTemplate):
@@ -183,11 +184,15 @@ class NuScenesDataset(DatasetTemplate):
         annos = []
         for index, box_dict in enumerate(pred_dicts):
             labels = np.asarray(box_dict['pred_labels']).astype(np.int64)
+            names = (np.array(class_names)[labels - 1] if len(labels)
+                     else np.array([]))
+            boxes = np.asarray(box_dict['pred_boxes'])
             annos.append({
-                'name': np.array(class_names)[labels - 1] if len(labels)
-                else np.array([]),
+                'name': names,
                 'score': np.asarray(box_dict['pred_scores']),
-                'boxes_lidar': np.asarray(box_dict['pred_boxes']),
+                'boxes_lidar': boxes,
+                'attr_name': np.array([
+                    default_attribute(n, b) for n, b in zip(names, boxes)]),
                 'frame_id': batch_dict['frame_id'][index],
                 'metadata': batch_dict.get('metadata', [None] * 100)[index],
             })
@@ -203,6 +208,8 @@ class NuScenesDataset(DatasetTemplate):
                 'name': info.get('gt_names', np.array([])),
                 'boxes_lidar': np.asarray(
                     info.get('gt_boxes', np.zeros((0, 7)))),
+                **({'attr_name': np.asarray(info['gt_attr_names'])}
+                   if 'gt_attr_names' in info else {}),
             } for info in self.infos]
             return nuscenes_evaluation(gt_annos, det_annos,
                                        list(class_names))

@@ -41,6 +41,49 @@ map_name_from_general_to_detection = {
 }
 
 
+# Most-frequent attribute per detection class (argmax of the reference's
+# train-set attribute frequency table, ``nuscenes_utils.py:43-120
+# cls_attr_dist``) — the fallback when the velocity rule below abstains.
+# barrier / traffic_cone have no attributes; the reference's argmax over
+# their all-zero rows degenerates to dict order ('cycle.with_rider'),
+# reproduced here. Those classes are AAE-excluded in the eval anyway.
+DEFAULT_ATTRIBUTE = {
+    'barrier': 'cycle.with_rider',
+    'bicycle': 'cycle.without_rider',
+    'bus': 'vehicle.moving',
+    'car': 'vehicle.parked',
+    'construction_vehicle': 'vehicle.parked',
+    'ignore': 'vehicle.parked',
+    'motorcycle': 'cycle.without_rider',
+    'pedestrian': 'pedestrian.moving',
+    'traffic_cone': 'cycle.with_rider',
+    'trailer': 'vehicle.parked',
+    'truck': 'vehicle.parked',
+}
+
+
+def default_attribute(name, box):
+    """Attribute for a predicted box, the reference's submission rule
+    (``nuscenes_utils.py:443-458``): speed > 0.2 m/s makes vehicles
+    'vehicle.moving' and cycles 'cycle.with_rider'; slow pedestrians are
+    'pedestrian.standing', slow buses 'vehicle.stopped'; everything else
+    falls back to the class's most frequent train-set attribute."""
+    box = np.asarray(box)
+    speed = float(np.linalg.norm(box[7:9])) if len(box) >= 9 else 0.0
+    if speed > 0.2:
+        if name in ('car', 'construction_vehicle', 'bus', 'truck',
+                    'trailer'):
+            return 'vehicle.moving'
+        if name in ('bicycle', 'motorcycle'):
+            return 'cycle.with_rider'
+    else:
+        if name == 'pedestrian':
+            return 'pedestrian.standing'
+        if name == 'bus':
+            return 'vehicle.stopped'
+    return DEFAULT_ATTRIBUTE.get(name, '')
+
+
 def quaternion_yaw(q) -> float:
     """Yaw of a pyquaternion Quaternion in the xy plane
     (``nuscenes_utils.py:234-249``)."""
@@ -177,6 +220,12 @@ def fill_trainval_infos(data_path, nusc, train_scenes, val_scenes,
             info['gt_boxes_token'] = tokens[mask]
             info['num_lidar_pts'] = num_lidar_pts[mask]
             info['num_radar_pts'] = num_radar_pts[mask]
+            # gt attribute names (for offline AAE): one per annotation,
+            # '' when the annotation carries none (barrier, traffic_cone)
+            info['gt_attr_names'] = np.array([
+                nusc.get('attribute', a['attribute_tokens'][0])['name']
+                if a['attribute_tokens'] else ''
+                for a in annotations])[mask]
 
         if sample['scene_token'] in train_scenes:
             train_nusc_infos.append(info)

@@ -61,13 +61,15 @@ def test_nuscenes_perfect():
     dt = [_frame(BOXES, ['car', 'car', 'pedestrian'],
                  scores=[0.9, 0.8, 0.7])]
     s, r = nuscenes_evaluation(gt, dt, ['car', 'pedestrian'])
-    assert r['mAP'] == pytest.approx(1.0, abs=0.02)   # 101-pt grid rounding
+    assert r['mAP'] == pytest.approx(1.0)   # devkit grid AP is exactly 1
     assert r['car/ATE'] == pytest.approx(0.0, abs=1e-9)
     assert r['car/ASE'] == pytest.approx(0.0, abs=1e-9)
     assert r['car/AOE'] == pytest.approx(0.0, abs=1e-9)
-    # NDS = (5*mAP + 3 perfect TP scores) / 10: AVE is worst-case without
-    # velocity in the boxes, AAE is unmodeled (documented deviations)
-    assert r['NDS'] == pytest.approx((5 * r['mAP'] + 3.0) / 10.0, abs=1e-6)
+    # 7-dim boxes, no attributes: AVE/AAE are not modeled -> excluded from
+    # NDS (numerator AND denominator), so NDS = (5*1 + 3)/(5 + 3) = 1
+    assert np.isnan(r['mAVE']) and np.isnan(r['mAAE'])
+    assert r['NDS_tp_metrics'] == 'ATE,ASE,AOE'
+    assert r['NDS'] == pytest.approx(1.0)
 
 
 def test_nuscenes_distance_thresholds():
@@ -76,7 +78,7 @@ def test_nuscenes_distance_thresholds():
     shifted[0, 0] += 1.5            # matches at 2m/4m, misses 0.5m/1m
     dt = [_frame(shifted, ['car'], scores=[0.9])]
     s, r = nuscenes_evaluation(gt, dt, ['car'])
-    assert 0.3 < r['car/AP'] < 0.7  # 2 of 4 thresholds match
+    assert r['car/AP'] == pytest.approx(0.5)  # exactly 2 of 4 thresholds
     assert r['car/ATE'] == pytest.approx(1.5, abs=1e-6)
 
 
@@ -98,3 +100,155 @@ def test_nuscenes_velocity_error_with_9dim_boxes():
     dt = [_frame(d, ['car'], scores=[0.9])]
     s, r = nuscenes_evaluation(gt, dt, ['car'])
     assert r['car/AVE'] == pytest.approx(np.sqrt(2.0), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Golden vectors (round-2 verdict item 7): tiny scenes whose metrics are
+# computed BY HAND from the protocol definitions, pinning the evaluators
+# end-to-end — not just directionally.
+# ---------------------------------------------------------------------------
+
+CAR = [4.0, 2.0, 2.0]
+
+
+def _box(x, y, z=0.0, dims=CAR, yaw=0.0, vel=None):
+    b = [x, y, z, *dims, yaw]
+    if vel is not None:
+        b += list(vel)
+    return b
+
+
+def test_nuscenes_golden_known_errors():
+    """One gt car at the origin, three dets:
+      A (score .9): center offset (0.6, 0.8) -> ATE 1.0 m, so A is a FP at
+        thresholds 0.5/1.0 and the TP at 2.0/4.0; half-height box -> aligned
+        IoU 8/16 -> ASE 0.5; yaw pi/4 -> AOE pi/4; vel (2,0) vs gt (0,0) ->
+        AVE 2.0; speed > 0.2 -> 'vehicle.moving' vs gt 'vehicle.parked' ->
+        AAE 1.
+    Per-threshold AP: {0.5: 0, 1.0: 0, 2.0: 1, 4.0: 1} -> class AP 0.5
+    (a single TP at full recall pins the 101-pt curve at precision 1).
+    NDS = (5*0.5 + (1-min(1,ATE)) + (1-ASE) + (1-AOE) + (1-min(1,AVE))
+           + (1-AAE)) / 10
+        = (2.5 + 0 + 0.5 + (1 - pi/4) + 0 + 0) / 10 = 0.3214601837.
+    """
+    gt = [{'name': np.array(['car']),
+           'boxes_lidar': np.array([_box(0, 0, vel=(0, 0))]),
+           'attr_name': np.array(['vehicle.parked'])}]
+    dt = [{'name': np.array(['car']),
+           'boxes_lidar': np.array([
+               _box(0.6, 0.8, dims=[4, 2, 1], yaw=np.pi / 4, vel=(2, 0))]),
+           'score': np.array([0.9]),
+           'attr_name': np.array(['vehicle.moving'])}]
+    s, r = nuscenes_evaluation(gt, dt, ['car'])
+    assert r['car/AP'] == pytest.approx(0.5)
+    assert r['car/ATE'] == pytest.approx(1.0)
+    assert r['car/ASE'] == pytest.approx(0.5)
+    assert r['car/AOE'] == pytest.approx(np.pi / 4)
+    assert r['car/AVE'] == pytest.approx(2.0)
+    assert r['car/AAE'] == pytest.approx(1.0)
+    assert r['NDS_tp_metrics'] == 'ATE,ASE,AOE,AVE,AAE'
+    assert r['NDS'] == pytest.approx((2.5 + 0.5 + (1 - np.pi / 4)) / 10.0)
+
+
+def test_nuscenes_golden_tp_error_curve():
+    """The devkit's cummean-curve TP error (NOT a plain mean over TPs).
+    Two gt cars; det A (score .9) has ATE 0.3, det B (score .8) ATE 0.4 —
+    both inside the tightest 0.5 m threshold (matching is strict <), so
+    every threshold's AP is exactly 1. Cumulative-mean ATE = [0.3, 0.35] at
+    conf [.9, .8]; confidence on the 101-pt recall grid is 0.9 for r <= 0.5
+    and linearly 0.9 -> 0.8 above; mapping through the cummean curve gives
+    ATE(r) = 0.3 for r <= 0.5 and 0.3 + 0.1 (r - 0.5) above. calc_tp
+    averages grid points 11..100:
+      (40 * 0.3 + sum_{i=51..100} (0.3 + (i-50)/1000)) / 90
+      = (12 + 15 + 1.275) / 90 = 0.3141666...
+    A plain mean over TPs would give 0.35 — this pins the curve semantics.
+    """
+    gt = [{'name': np.array(['car', 'car']),
+           'boxes_lidar': np.array([_box(0, 0), _box(50, 0)])}]
+    dt = [{'name': np.array(['car', 'car']),
+           'boxes_lidar': np.array([_box(0.3, 0), _box(50.4, 0)]),
+           'score': np.array([0.9, 0.8])}]
+    s, r = nuscenes_evaluation(gt, dt, ['car'])
+    assert r['car/AP'] == pytest.approx(1.0)
+    assert r['car/ATE'] == pytest.approx(28.275 / 90.0)
+
+
+def test_nuscenes_golden_class_exclusions():
+    """devkit evaluate.py LEAVE_OUT: traffic_cone has no AOE/AVE/AAE,
+    barrier no AVE/AAE; barrier orientation period is pi, so a barrier det
+    flipped by pi has AOE exactly 0."""
+    gt = [{'name': np.array(['barrier', 'traffic_cone']),
+           'boxes_lidar': np.array([_box(0, 0), _box(20, 0)])}]
+    flipped = _box(0, 0, yaw=np.pi)
+    dt = [{'name': np.array(['barrier', 'traffic_cone']),
+           'boxes_lidar': np.array([flipped, _box(20, 0, yaw=1.0)]),
+           'score': np.array([0.9, 0.9])}]
+    s, r = nuscenes_evaluation(gt, dt, ['barrier', 'traffic_cone'])
+    assert r['barrier/AOE'] == pytest.approx(0.0, abs=1e-12)
+    assert np.isnan(r['barrier/AVE']) and np.isnan(r['barrier/AAE'])
+    assert np.isnan(r['traffic_cone/AOE'])
+    assert r['mAOE'] == pytest.approx(0.0, abs=1e-12)  # nanmean over classes
+    # NDS over mAP=1 and the 3 available TP means (ATE 0, ASE 0, AOE 0)
+    assert r['NDS'] == pytest.approx(1.0)
+
+
+def test_waymo_golden_high_scored_fp():
+    """One gt vehicle, a perfect det (score .9) and a HIGHER-scored FP
+    (score .95). Sorted: FP then TP -> precision [0, 1/2], recall [0, 1];
+    envelope makes p(0)=0.5; AP = trapezoid = 0.5 exactly. Heading perfect
+    -> APH = AP."""
+    gt = [_frame(BOXES[:1], ['Vehicle'])]
+    fp = np.vstack([BOXES[0] + [20, 20, 0, 0, 0, 0, 0], BOXES[0]])
+    dt = [_frame(fp, ['Vehicle', 'Vehicle'], scores=[0.95, 0.9])]
+    s, r = waymo_evaluation(gt, dt, ['Vehicle'])
+    assert r['OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/AP'] == pytest.approx(0.5)
+    assert r['OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/APH'] == pytest.approx(0.5)
+
+
+def test_waymo_golden_levels_and_ignores():
+    """Two gts (difficulty 0 and 2), perfect dets on both plus a FP scored
+    between them. LEVEL_1 has num_gt=1; the det matched to the difficulty-2
+    gt is IGNORED (not a FP). Rows sorted by score: TP(.9), FP(.85) ->
+    recall hits 1.0 at the first row, so the trailing FP adds zero area:
+    AP_L1 = 1.0. LEVEL_2: TP(.9), FP(.85), TP(.8) -> recall [.5, .5, 1],
+    precision [1, .5, 2/3], envelope [1, 2/3, 2/3]:
+    AP_L2 = .5 * 1 + .5 * 2/3 = 5/6."""
+    gt = [_frame(np.vstack([BOXES[0], BOXES[1]]), ['Vehicle', 'Vehicle'],
+                 difficulty=[0, 2])]
+    det_boxes = np.vstack([BOXES[0], BOXES[0] + [20, 20, 0, 0, 0, 0, 0],
+                           BOXES[1]])
+    dt = [_frame(det_boxes, ['Vehicle'] * 3, scores=[0.9, 0.85, 0.8])]
+    s, r = waymo_evaluation(gt, dt, ['Vehicle'])
+    assert r['OBJECT_TYPE_TYPE_VEHICLE_LEVEL_1/AP'] == pytest.approx(1.0)
+    assert r['OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/AP'] == pytest.approx(5.0 / 6)
+
+
+def test_waymo_golden_partial_heading():
+    """APH weights each TP by 1 - |wrapped heading err| / pi in BOTH the
+    numerator and the curve. One gt, one det rotated by 0.2 rad (small
+    enough that IoU stays >= 0.7 and the match holds):
+    AP = 1, APH = 1 - 0.2/pi exactly."""
+    gt = [_frame(BOXES[:1], ['Vehicle'])]
+    quarter = BOXES[:1].copy()
+    quarter[0, 6] += 0.2
+    dt = [_frame(quarter, ['Vehicle'], scores=[0.9])]
+    s, r = waymo_evaluation(gt, dt, ['Vehicle'])
+    assert r['OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/AP'] == pytest.approx(1.0)
+    assert r['OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/APH'] == pytest.approx(
+        1.0 - 0.2 / np.pi)
+
+
+def test_nuscenes_default_attribute_rule():
+    """The det-side attribute assignment reproduces the reference's
+    submission rule (``nuscenes_utils.py:443-458``)."""
+    from spsnet_tpu.data.nuscenes.nuscenes_utils import default_attribute
+
+    fast = _box(0, 0, vel=(1.0, 0.0))
+    slow = _box(0, 0, vel=(0.05, 0.0))
+    assert default_attribute('car', fast) == 'vehicle.moving'
+    assert default_attribute('bicycle', fast) == 'cycle.with_rider'
+    assert default_attribute('pedestrian', slow) == 'pedestrian.standing'
+    assert default_attribute('bus', slow) == 'vehicle.stopped'
+    assert default_attribute('car', slow) == 'vehicle.parked'     # prior
+    assert default_attribute('pedestrian', fast) == 'pedestrian.moving'
+    assert default_attribute('truck', _box(0, 0)) == 'vehicle.parked'
