@@ -15,6 +15,7 @@ are then reproduced with two selects.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -76,27 +77,42 @@ def _query_d2(ctr, xyz):
 
 
 _METHOD_OVERRIDE = None
+_RECALL_OVERRIDE = None
+_DEFAULT_RECALL = 0.8
 
 
-def set_first_k_method(method):
-    """Force 'exact'/'approx' first-k globally (None restores 'auto').
-    Call ``jax.clear_caches()`` afterwards — jitted callers cache traces
-    keyed on their own static args, not this override. Used by
-    tools/validate_approx_topk.py to bound the approx-top-k output delta."""
-    global _METHOD_OVERRIDE
+def set_first_k_method(method, recall_target=None):
+    """Force 'exact'/'approx' first-k globally (None restores 'auto') and
+    optionally the approx recall_target. Call ``jax.clear_caches()``
+    afterwards — jitted callers cache traces keyed on their own static
+    args, not this override. Used by tools/validate_approx_topk.py to
+    bound the approx-top-k output delta."""
+    global _METHOD_OVERRIDE, _RECALL_OVERRIDE
     _METHOD_OVERRIDE = method
+    _RECALL_OVERRIDE = recall_target
 
 
 def _resolve_method(method):
     if _METHOD_OVERRIDE is not None:
         return _METHOD_OVERRIDE
+    env = os.environ.get('SPSNET_FIRSTK')
+    if env in ('exact', 'approx'):
+        return env
     if method == 'auto':
         # Sort-based exact top-k is ~17x slower than the TPU-optimized
-        # approximate PartialReduce at IA-SSD sizes (measured on v5e);
-        # the relaxation only changes WHICH in-radius points fill the slots,
-        # which max-pooled grouping is insensitive to.
+        # approximate PartialReduce at IA-SSD sizes (measured on v5e).
+        # The relaxation changes WHICH in-radius points fill the slots;
+        # gt-quality metrics (recall/precision vs gt under each method,
+        # tools/validate_approx_topk.py) are the accept gate, and
+        # SPSNET_FIRSTK=exact opts out at zero code change.
         return 'approx' if jax.default_backend() == 'tpu' else 'exact'
     return method
+
+
+def _resolve_recall():
+    if _RECALL_OVERRIDE is not None:
+        return float(_RECALL_OVERRIDE)
+    return float(os.environ.get('SPSNET_APPROX_RECALL', _DEFAULT_RECALL))
 
 
 def _first_k_hits(hit, nsample, method='auto'):
@@ -115,9 +131,9 @@ def _first_k_hits(hit, nsample, method='auto'):
         # recall_target 0.8 halves the PartialReduce aggregation cost vs the
         # 0.95 default (11 vs 24 ms for the IA-SSD layer-1 MSG pair on v5e);
         # a missed early index just lets a later in-radius point take the
-        # slot — invisible through the max-pooled grouping, same relaxation
-        # class as approx itself
-        vals, _ = jax.lax.approx_max_k(key, nsample, recall_target=0.8)
+        # slot. Override via SPSNET_APPROX_RECALL / set_first_k_method.
+        vals, _ = jax.lax.approx_max_k(key, nsample,
+                                       recall_target=_resolve_recall())
         idx = (-vals).astype(jnp.int32)
         valid = vals > -1e30
     else:

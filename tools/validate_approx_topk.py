@@ -13,6 +13,7 @@ comparison trivial there):
 """
 import json
 import sys
+import time
 from pathlib import Path
 
 import numpy as np
@@ -161,7 +162,7 @@ def train_tiny(jax, jnp, steps=600):
     variables = best['vars'] if best['vars'] is not None else {
         'params': jax.device_get(state.params),
         'batch_stats': jax.device_get(state.batch_stats)}
-    return model, variables, cfg, points_dev
+    return model, variables, cfg, points_dev, gt
 
 
 def main():
@@ -178,7 +179,7 @@ def main():
 
     trained = '--untrained' not in sys.argv
     if trained:
-        model, variables, cfg, points = train_tiny(jax, jnp)
+        model, variables, cfg, points, gt = train_tiny(jax, jnp)
         B = points.shape[0]
         post = cfg.MODEL.POST_PROCESSING
     else:
@@ -190,9 +191,10 @@ def main():
                                                   n_points=N))
         variables = jax.jit(model.init, static_argnames='train')(
             jax.random.PRNGKey(0), {'points': points[:1]}, train=False)
+        gt = None
 
-    def run(method):
-        grouping.set_first_k_method(method)
+    def run(method, recall_target=None):
+        grouping.set_first_k_method(method, recall_target)
         jax.clear_caches()
 
         @jax.jit
@@ -209,14 +211,55 @@ def main():
             return out['batch_box_preds'], out['batch_cls_preds'], dets
 
         boxes, cls, dets = infer(variables, points)
+        np.asarray(dets['count'])
+        # rough per-method device time (pipelined over 10 iters)
+        t0 = time.time()
+        for _ in range(10):
+            _, _, dets_t = infer(variables, points)
+        np.asarray(dets_t['count'])
+        ms = (time.time() - t0) / 10 * 1000.0
         out = (np.asarray(boxes), np.asarray(cls),
-               {k: np.asarray(v) for k, v in dets.items()})
+               {k: np.asarray(v) for k, v in dets.items()}, ms)
         grouping.set_first_k_method(None)
         jax.clear_caches()
         return out
 
-    bx_e, cls_e, det_e = run('exact')
-    bx_a, cls_a, det_a = run('approx')
+    def quality_vs_gt(det, score_min=0.1, match_radius=1.0):
+        """Detection quality against the TRUE boxes — the deployment metric.
+        Exact-vs-approx output Chamfer conflates slot-substitution
+        sensitivity with quality; what matters is whether each method FINDS
+        the objects. Returns gt recall, precision of strong dets, and mean
+        center error of matched gts."""
+        if gt is None:
+            return None
+        n_gt = covered = n_det = n_det_good = 0
+        errs = []
+        for b in range(B):
+            nb = int(det['count'][b])
+            boxes_b = np.asarray(det['boxes'][b, :nb, :3])
+            strong = np.asarray(det['scores'][b, :nb]) >= score_min
+            boxes_b = boxes_b[strong]
+            gts = gt[b, :, :3]
+            n_gt += len(gts)
+            n_det += len(boxes_b)
+            if len(boxes_b) == 0:
+                continue
+            d = np.linalg.norm(gts[:, None] - boxes_b[None], axis=-1)
+            hit = d.min(axis=1) < match_radius
+            covered += int(hit.sum())
+            errs.extend(d.min(axis=1)[hit].tolist())
+            n_det_good += int((d.min(axis=0) < match_radius).sum())
+        return {
+            'gt_recall': covered / max(n_gt, 1),
+            'det_precision': n_det_good / max(n_det, 1),
+            'n_strong_dets': n_det,
+            'matched_center_err_mean_m': float(np.mean(errs)) if errs
+            else None,
+        }
+
+    bx_e, cls_e, det_e, ms_e = run('exact')
+    bx_a, cls_a, det_a, ms_a = run('approx')
+    _, _, det_a95, ms_a95 = run('approx', recall_target=0.95)
 
     center_delta = np.linalg.norm(bx_e[..., :3] - bx_a[..., :3], axis=-1)
     size_delta = np.abs(bx_e[..., 3:6] - bx_a[..., 3:6]).max(axis=-1)
@@ -286,6 +329,13 @@ def main():
         'top50_over_0p5m_frac': float((topk > 0.5).mean()),
         'count_exact': det_e['count'].tolist(),
         'count_approx': det_a['count'].tolist(),
+        # the accept gate: detection quality vs the TRUE boxes per method
+        'quality_exact': quality_vs_gt(det_e),
+        'quality_approx_r080': quality_vs_gt(det_a),
+        'quality_approx_r095': quality_vs_gt(det_a95),
+        'ms_per_batch_exact': round(ms_e, 2),
+        'ms_per_batch_approx_r080': round(ms_a, 2),
+        'ms_per_batch_approx_r095': round(ms_a95, 2),
     }))
 
 
