@@ -45,6 +45,12 @@ class IASSDBackbone(nn.Module):
         channel_in = self.input_channels - 3
         channel_out_list = [channel_in]
         modules = []
+        # fps_ordered[j]: encoder_xyz[j] is a D-FPS chain in selection order
+        # (output of a pure single-D-FPS SA layer). A later D-FPS layer fed
+        # such an input prefix-nests: its result IS arange(npoint)
+        # (see SAModuleMSGWithSampling._sample) — the layer-2 FPS of IA-SSD
+        # becomes free.
+        fps_ordered = [False]
         for k in range(len(sa_cfg.NSAMPLE_LIST)):
             layer_input = self.layer_inputs[k]
             if isinstance(layer_input, list):
@@ -65,10 +71,18 @@ class IASSDBackbone(nn.Module):
 
                 ss_radii = sa_cfg.get('SS_RADIUS_LIST', None)
                 ss_nsamples = sa_cfg.get('SS_NSAMPLE_LIST', None)
+                methods = list(sa_cfg.SAMPLE_METHOD_LIST[k])
+                samples_here = self.ctr_idx_list[k] == -1
+                in_idx = (layer_input[-1] if isinstance(layer_input, list)
+                          else layer_input)
+                fps_ordered.append(
+                    samples_here and methods == ['D-FPS']
+                    and (list(sa_cfg.NPOINT_LIST[k])[0] > 0))
                 modules.append(SAModuleMSGWithSampling(
                     npoint_list=list(sa_cfg.NPOINT_LIST[k]),
                     sample_range_list=list(sa_cfg.SAMPLE_RANGE_LIST[k]),
-                    sample_type_list=list(sa_cfg.SAMPLE_METHOD_LIST[k]),
+                    sample_type_list=methods,
+                    input_fps_ordered=bool(fps_ordered[in_idx]),
                     radii=list(sa_cfg.RADIUS_LIST[k]),
                     nsamples=list(sa_cfg.NSAMPLE_LIST[k]),
                     mlps=mlps,
@@ -82,6 +96,7 @@ class IASSDBackbone(nn.Module):
                     name=f'sa_{k}',
                 ))
             elif self.layer_types[k] == 'Vote_Layer':
+                fps_ordered.append(False)
                 channel_out = channel_out_list[layer_input]
                 modules.append(VoteLayer(
                     mlp_list=list(sa_cfg.MLPS[k]),

@@ -8,6 +8,7 @@ the sample axis fused into the epilogue.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, List, Optional, Sequence
 
 import flax.linen as nn
@@ -42,6 +43,10 @@ class SAModuleMSGWithSampling(nn.Module):
     ss_radius: Optional[float] = None          # S-FPS swap radius
     ss_nsample: Optional[int] = None
     sfps_min_unique: int = 3500
+    # the input point set is a D-FPS chain in selection order (set by the
+    # backbone from static config analysis) — enables the prefix-nesting
+    # shortcut in _sample; SPSNET_FPS_PREFIX=0 disables
+    input_fps_ordered: bool = False
 
     def _sample(self, xyz, features, cls_features, stds):
         """Run the configured sampler chain; returns (idx, stds)."""
@@ -78,7 +83,24 @@ class SAModuleMSGWithSampling(nn.Module):
                     xyz_t, out_stds, npoint, self.ss_radius, self.ss_nsample,
                     min_unique=self.sfps_min_unique)
             elif 'D-FPS' in stype or 'DFS' in stype:
-                idx, out_stds = samplers.sample_dfps(xyz_t, npoint, stds=out_stds)
+                if (self.input_fps_ordered and last_end == 0
+                        and os.environ.get('SPSNET_FPS_PREFIX', '1') != '0'):
+                    # prefix-nesting: xyz_t is (a head slice of) a D-FPS
+                    # chain in selection order, and FPS restricted to its
+                    # own output selects the same chain — pick k of
+                    # FPS(chain, m) is the global argmax over the original
+                    # cloud, which IS chain[k] (induction from the shared
+                    # seed chain[0]). So the result is arange(npoint),
+                    # exactly (up to exact-tie ordering), for free.
+                    # Property-tested in test_ops_sampling.py.
+                    idx = jnp.broadcast_to(
+                        jnp.arange(npoint, dtype=jnp.int32)[None],
+                        (B, npoint))
+                    out_stds = (None if out_stds is None
+                                else out_stds[:, :npoint])
+                else:
+                    idx, out_stds = samplers.sample_dfps(xyz_t, npoint,
+                                                         stds=out_stds)
             elif 'F-FPS' in stype or 'FFS' in stype:
                 idx = samplers.sample_ffps(xyz_t, feat_t, npoint)
             elif stype == 'FS':

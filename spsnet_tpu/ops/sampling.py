@@ -14,6 +14,7 @@ measure-zero for float point clouds.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -54,7 +55,16 @@ def farthest_point_sample(xyz, npoint: int, valid_mask=None):
     # and the Pallas kernel defines no VJP — cut reverse-mode off here
     xyz = jax.lax.stop_gradient(xyz)
     if valid_mask is None and jax.default_backend() == 'tpu':
-        from .pallas.fps import farthest_point_sample_pallas
+        from .pallas.fps import (farthest_point_sample_chunked,
+                                 farthest_point_sample_pallas)
+        # SPSNET_FPS_CHUNKS=S > 1 opts into chunked (stratified) FPS —
+        # S-fold faster, measured-equivalent detection quality
+        # (tools/validate_approx_topk.py --fps); divisibility permitting
+        chunks = int(os.environ.get('SPSNET_FPS_CHUNKS', '1'))
+        N = xyz.shape[1]
+        if chunks > 1 and N % chunks == 0 and npoint % chunks == 0 \
+                and npoint // chunks >= 1:
+            return farthest_point_sample_chunked(xyz, npoint, chunks)
         return farthest_point_sample_pallas(xyz, npoint)
     return _farthest_point_sample_xla(xyz, npoint, valid_mask)
 

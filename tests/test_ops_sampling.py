@@ -79,3 +79,21 @@ def test_index_ops_are_gradient_opaque():
     np.testing.assert_array_equal(np.asarray(jax.grad(fps_loss)(xyz)), 0.0)
     centers = xyz[:, :16] * 1.0
     np.testing.assert_array_equal(np.asarray(jax.grad(bq_loss)(centers)), 0.0)
+
+
+def test_fps_prefix_nesting_property():
+    """FPS restricted to its own output prefix-nests: if S = FPS(P, n) in
+    selection order, then FPS(P[S], m) == arange(m) for any m <= n — pick k
+    of the restricted chain is the global argmax over P (which is S[k]).
+    This property lets a D-FPS layer fed a D-FPS-ordered input return
+    arange for free (sa_module.py prefix shortcut)."""
+    import jax.numpy as jnp
+    from spsnet_tpu import ops
+
+    rng = np.random.default_rng(7)
+    P = jnp.asarray(rng.normal(size=(3, 256, 3)).astype(np.float32) * 10)
+    S = ops.farthest_point_sample(P, 64)                  # (3, 64)
+    sub = ops.gather_points(P, S)                         # selection order
+    again = np.asarray(ops.farthest_point_sample(sub, 16))
+    np.testing.assert_array_equal(
+        again, np.broadcast_to(np.arange(16, dtype=np.int32), (3, 16)))

@@ -63,3 +63,35 @@ def test_pallas_d2_supports_gate():
     assert supports(*ok)
     assert not supports(bad[0], ok[1])  # M=250 not 8-aligned
     assert not supports(ok[0], bad[1])
+
+
+def test_pallas_fps_chunked_semantics_and_coverage():
+    """Chunked FPS: each slice's output is bit-exact FPS of that slice
+    (offset restored, slices disjoint), and the stratified sample covers
+    the scene nearly as well as exact FPS (coverage radius = max over
+    points of the distance to the nearest sample)."""
+    from spsnet_tpu.ops.pallas.fps import farthest_point_sample_chunked
+
+    rng = np.random.default_rng(2)
+    B, N, M, S = 2, 512, 128, 4
+    xyz = rng.normal(size=(B, N, 3)).astype(np.float32)
+    got = np.asarray(farthest_point_sample_chunked(
+        jnp.asarray(xyz), M, S, interpret=True))
+    assert got.shape == (B, M)
+    nc, mc = N // S, M // S
+    for s in range(S):
+        want = fps_ref(xyz[:, s * nc:(s + 1) * nc], mc) + s * nc
+        np.testing.assert_array_equal(got[:, s * mc:(s + 1) * mc], want)
+    for b in range(B):
+        assert len(set(got[b].tolist())) == M   # disjoint slices: no dups
+
+    def coverage(samples):
+        d = np.linalg.norm(xyz[:, :, None] - samples[:, None], axis=-1)
+        return d.min(axis=2).max(axis=1)        # (B,) coverage radius
+
+    exact = fps_ref(xyz, M)
+    cov_exact = coverage(np.take_along_axis(
+        xyz, exact[..., None].astype(np.int64), axis=1))
+    cov_chunk = coverage(np.take_along_axis(
+        xyz, got[..., None].astype(np.int64), axis=1))
+    assert (cov_chunk <= 1.6 * cov_exact).all(), (cov_chunk, cov_exact)
