@@ -83,7 +83,9 @@ class SAModuleMSGWithSampling(nn.Module):
                     xyz_t, out_stds, npoint, self.ss_radius, self.ss_nsample,
                     min_unique=self.sfps_min_unique)
             elif 'D-FPS' in stype or 'DFS' in stype:
-                if (self.input_fps_ordered and last_end == 0
+                seeding = 0.0 < float(
+                    os.environ.get('SPSNET_FPS_SEED', '0')) < 1.0
+                if (self.input_fps_ordered and last_end == 0 and not seeding
                         and os.environ.get('SPSNET_FPS_PREFIX', '1') != '0'):
                     # prefix-nesting: xyz_t is (a head slice of) a D-FPS
                     # chain in selection order, and FPS restricted to its

@@ -384,6 +384,167 @@ def farthest_point_sample_pallas(xyz, npoint: int, interpret: bool = False):
     return _fps_pallas_grid(xyz, npoint, interpret=interpret)
 
 
+def _fps_kernel_seeded(nvalid_ref, x_ref, y_ref, z_ref, d0_ref, out_ref,
+                       dist_ref, *, k0, no_padding=False):
+    """``_fps_kernel_unrolled_b`` with the first ``k0`` points pre-selected
+    as seeds: the min-dist plane starts from ``d0_ref`` (min d2 to the
+    seeds, computed OUTSIDE the kernel in parallel), seed indices are
+    written as iota rows, and the step loop runs only the remaining
+    ``M - k0`` FPS completions. The kernel is issue-bound per chain-step
+    body (see the chunked-FPS negative result), so time scales with
+    (M - k0) / M."""
+    n_valid = nvalid_ref[0]
+    B = x_ref.shape[0]
+    R = x_ref.shape[1]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, _LANE), 0)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (R, _LANE), 1)
+    flat_ids = row_ids * _LANE + lane_ids
+    valid = flat_ids < n_valid
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+
+    def mask_pad(d2):
+        return d2 if no_padding else jnp.where(valid, d2, -1.0)
+
+    for b in range(B):
+        dist_ref[b] = d0_ref[b] if no_padding \
+            else jnp.where(valid, d0_ref[b], -1.0)
+
+    def write(b, j, val):
+        r = j // _LANE
+        c = j % _LANE
+        row = out_ref[b, pl.ds(r, 1), :]
+        out_ref[b, pl.ds(r, 1), :] = jnp.where(lane_row == c, val, row)
+
+    # seed indices 0..k0-1 fill whole output rows (k0 % 128 == 0)
+    for b in range(B):
+        for r in range(k0 // _LANE):
+            out_ref[b, pl.ds(r, 1), :] = r * _LANE + lane_row
+
+    def step(j, carry):
+        out = []
+        for b in range(B):
+            x1, y1, z1 = carry[b]
+            x = x_ref[b]
+            y = y_ref[b]
+            z = z_ref[b]
+            d2 = (x - x1) ** 2 + (y - y1) ** 2 + (z - z1) ** 2
+            nd = jnp.minimum(dist_ref[b], mask_pad(d2))
+            dist_ref[b] = nd
+            m = jnp.max(nd)
+            nxt = jnp.min(jnp.where(nd == m, flat_ids, jnp.int32(_BIG_I)))
+            write(b, j, nxt)
+            r = nxt // _LANE
+            c = nxt % _LANE
+            lane_sel = lane_row == c
+            out.append((
+                jnp.sum(jnp.where(lane_sel, x_ref[b, pl.ds(r, 1), :], 0.0)),
+                jnp.sum(jnp.where(lane_sel, y_ref[b, pl.ds(r, 1), :], 0.0)),
+                jnp.sum(jnp.where(lane_sel, z_ref[b, pl.ds(r, 1), :], 0.0))))
+        return tuple(out)
+
+    # carry = last seed's coords; its d2 is already folded into d0 (the
+    # first step recomputes it — the min update is idempotent)
+    r0, c0 = (k0 - 1) // _LANE, (k0 - 1) % _LANE
+    seed = tuple((x_ref[b, r0, c0], y_ref[b, r0, c0], z_ref[b, r0, c0])
+                 for b in range(B))
+    jax.lax.fori_loop(k0, out_ref.shape[1] * _LANE, step, seed, unroll=False)
+
+
+def _seed_min_kernel(px_ref, py_ref, pz_ref, sx_ref, sy_ref, sz_ref, o_ref):
+    """One (seeds BM, points BN) diff-form d2 tile, min-reduced over seeds
+    and min-accumulated into the output across the innermost grid dim
+    (same register-resident FMA pattern as ``d2.py``)."""
+    k = pl.program_id(2)
+    BM = sx_ref.shape[1]
+    BN = px_ref.shape[2]
+
+    def axis(p_ref, s_ref):
+        p = jnp.broadcast_to(p_ref[0], (BM, BN))
+        s = jnp.broadcast_to(s_ref[0], (BM, BN))
+        d = p - s
+        return d * d
+
+    d2 = axis(px_ref, sx_ref) + axis(py_ref, sy_ref) + axis(pz_ref, sz_ref)
+    m = jnp.min(d2, axis=0, keepdims=True)              # (1, BN)
+
+    @pl.when(k == 0)
+    def _init():
+        o_ref[0] = m
+
+    @pl.when(k > 0)
+    def _acc():
+        o_ref[0] = jnp.minimum(o_ref[0], m)
+
+
+@functools.partial(jax.jit, static_argnames=('k0', 'interpret'))
+def _seed_min_d2(xyz_p, k0: int, interpret: bool = False):
+    """(B, Np, 3) -> (B, Np) min squared distance to the first k0 points.
+    Fused Pallas kernel: no (B, Np, k0) transient ever touches HBM (the
+    XLA scan/matmul forms measured 6.4 ms at B=8 Np=16384 k0=2048; this
+    kernel ~0.6 ms)."""
+    B, Np, _ = xyz_p.shape
+    bn = min(2048, Np)
+    bm = min(256, k0)
+    if Np % bn or k0 % bm:
+        bn, bm = _LANE, _LANE               # both 128-multiples by contract
+    p_planes = [xyz_p[..., i][:, None, :] for i in range(3)]   # (B, 1, Np)
+    s_planes = [xyz_p[:, :k0, i][..., None] for i in range(3)]  # (B, k0, 1)
+    out = pl.pallas_call(
+        _seed_min_kernel,
+        grid=(B, Np // bn, k0 // bm),
+        in_specs=[pl.BlockSpec((1, 1, bn), lambda b, n, k: (b, 0, n))] * 3
+        + [pl.BlockSpec((1, bm, 1), lambda b, n, k: (b, k, 0))] * 3,
+        out_specs=pl.BlockSpec((1, 1, bn), lambda b, n, k: (b, 0, n)),
+        out_shape=jax.ShapeDtypeStruct((B, 1, Np), jnp.float32),
+        interpret=interpret,
+    )(*p_planes, *s_planes)
+    return out[:, 0, :]
+
+
+@functools.partial(jax.jit, static_argnames=('npoint', 'k0', 'interpret'))
+def farthest_point_sample_seeded(xyz, npoint: int, k0: int,
+                                 interpret: bool = False):
+    """Seeded FPS: pre-select the first ``k0`` points (the cloud is
+    shuffled upstream, so they are a uniform random subsample), initialize
+    the min-dist plane against them with one PARALLEL prepass, and run only
+    ``npoint - k0`` sequential FPS completion steps that fill the random
+    set's coverage holes. Returns (B, npoint): ``arange(k0)`` seeds
+    followed by the completion picks in selection order.
+
+    Approximation contract mirrors the approx-top-k one: quality-vs-gt is
+    the accept gate (tools/validate_approx_topk.py --fps), SPSNET_FPS_SEED
+    opts in/out. Requires k0 % 128 == 0 and 0 < k0 < npoint <= N.
+    """
+    B, N, _ = xyz.shape
+    if not (0 < k0 < npoint and k0 % _LANE == 0):
+        raise ValueError(f'need 0 < k0 < npoint, k0 % 128 == 0; '
+                         f'got k0={k0}, npoint={npoint}')
+    pad = (-N) % _LANE
+    R = (N + pad) // _LANE
+    xyz_p = jnp.pad(xyz, ((0, 0), (0, pad), (0, 0)))
+    d0 = _seed_min_d2(xyz_p, k0, interpret=interpret).reshape(B, R, _LANE)
+    planes = [xyz_p[..., i].reshape(B, R, _LANE) for i in range(3)]
+    n_valid = jnp.full((1,), N, dtype=jnp.int32)
+    Mr = -(-npoint // _LANE)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec((B, R, _LANE), lambda g, nv: (0, 0, 0),
+                               memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec((B, Mr, _LANE), lambda g, nv: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((B, R, _LANE), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fps_kernel_seeded, k0=k0, no_padding=(pad == 0)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Mr, _LANE), jnp.int32),
+        interpret=interpret,
+    )(n_valid, *planes, d0)
+    return out.reshape(B, Mr * _LANE)[:, :npoint]
+
+
 @functools.partial(jax.jit, static_argnames=('npoint', 'chunks', 'interpret'))
 def farthest_point_sample_chunked(xyz, npoint: int, chunks: int,
                                   interpret: bool = False):

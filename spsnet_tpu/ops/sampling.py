@@ -56,10 +56,21 @@ def farthest_point_sample(xyz, npoint: int, valid_mask=None):
     xyz = jax.lax.stop_gradient(xyz)
     if valid_mask is None and jax.default_backend() == 'tpu':
         from .pallas.fps import (farthest_point_sample_chunked,
-                                 farthest_point_sample_pallas)
+                                 farthest_point_sample_pallas,
+                                 farthest_point_sample_seeded)
+        # SPSNET_FPS_SEED=f in (0, 1) opts into seeded FPS: the first
+        # f*npoint picks are the (shuffled = random) head of the cloud with
+        # a parallel dist-init prepass, only the rest run the sequential
+        # kernel. Enabling this also turns off the prefix-nesting shortcut
+        # (sa_module.py) — a seeded chain is not FPS-ordered.
+        frac = float(os.environ.get('SPSNET_FPS_SEED', '0'))
+        if 0.0 < frac < 1.0:
+            k0 = int(frac * npoint) // 128 * 128
+            if 0 < k0 < npoint:
+                return farthest_point_sample_seeded(xyz, npoint, k0)
         # SPSNET_FPS_CHUNKS=S > 1 opts into chunked (stratified) FPS —
-        # S-fold faster, measured-equivalent detection quality
-        # (tools/validate_approx_topk.py --fps); divisibility permitting
+        # measured FLAT on v5e (issue-bound kernel; see DESIGN.md), kept
+        # for other hardware generations; divisibility permitting
         chunks = int(os.environ.get('SPSNET_FPS_CHUNKS', '1'))
         N = xyz.shape[1]
         if chunks > 1 and N % chunks == 0 and npoint % chunks == 0 \

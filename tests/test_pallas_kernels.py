@@ -95,3 +95,26 @@ def test_pallas_fps_chunked_semantics_and_coverage():
     cov_chunk = coverage(np.take_along_axis(
         xyz, got[..., None].astype(np.int64), axis=1))
     assert (cov_chunk <= 1.6 * cov_exact).all(), (cov_chunk, cov_exact)
+
+
+def test_pallas_fps_seeded_semantics():
+    """Seeded FPS == numpy twin: seeds arange(k0), dist initialized to the
+    min-d2-to-seeds, then exact greedy FPS completions."""
+    from spsnet_tpu.ops.pallas.fps import farthest_point_sample_seeded
+
+    rng = np.random.default_rng(5)
+    B, N, M, K0 = 2, 500, 256, 128           # N % 128 != 0: padding path
+    xyz = rng.normal(size=(B, N, 3)).astype(np.float32) * 5
+    got = np.asarray(farthest_point_sample_seeded(
+        jnp.asarray(xyz), M, K0, interpret=True))
+
+    for b in range(B):
+        d = ((xyz[b][:, None] - xyz[b][None]) ** 2).sum(-1)
+        dist = d[:, :K0].min(axis=1)
+        picks = list(range(K0))
+        for _ in range(M - K0):
+            nxt = int(np.argmax(dist))        # argmax ties -> lowest index
+            picks.append(nxt)
+            dist = np.minimum(dist, d[:, nxt])
+        np.testing.assert_array_equal(got[b], np.asarray(picks, np.int32))
+    assert got.max() < N

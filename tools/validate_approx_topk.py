@@ -257,6 +257,24 @@ def main():
             else None,
         }
 
+    if '--fps' in sys.argv:
+        # seeded-FPS quality gate: same harness, the knob is the FPS seed
+        # fraction instead of the top-k method (SPSNET_FPS_SEED routes
+        # ops.farthest_point_sample; caches cleared per setting)
+        import os
+        results = {}
+        for frac in (0.0, 0.5, 0.75):
+            os.environ['SPSNET_FPS_SEED'] = str(frac)
+            jax.clear_caches()
+            _, _, det, ms = run(None)
+            results[f'seed_{frac}'] = {
+                'quality': quality_vs_gt(det), 'ms_per_batch': round(ms, 2),
+                'counts': det['count'].tolist()}
+        os.environ.pop('SPSNET_FPS_SEED', None)
+        print(json.dumps({'backend': jax.default_backend(),
+                          'mode': 'fps_seed', **results}))
+        return
+
     bx_e, cls_e, det_e, ms_e = run('exact')
     bx_a, cls_a, det_a, ms_a = run('approx')
     _, _, det_a95, ms_a95 = run('approx', recall_target=0.95)
