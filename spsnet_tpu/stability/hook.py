@@ -113,3 +113,44 @@ def apply_stability_hook(generator_apply, generator_vars, batch, rng,
         out['sem_labels'] = jnp.take_along_axis(
             batch['sem_labels'], keep_idx, axis=1)
     return out
+
+
+def save_vis_points(batch, ret, output_dir, frame_id='frame0', b=0,
+                    gt_boxes=None, topk=4096):
+    """Dump the stability model's visualization artifacts for frame ``b`` —
+    a working equivalent of the reference's dead-code debug dumper
+    (``stability_generate/model.py:510-542``, invocation commented out at
+    :585): four whitespace txt point lists loadable by any viewer.
+
+    - ``points.txt``        raw xyz + fake_label (0 when absent)
+    - ``heat_map.txt``      sampled xyz + stds (the stability heatmap)
+    - ``instance_map.txt``  sampled fg points + stds (needs ``gt_boxes``)
+    - ``centain_points.txt`` the ``topk`` most-stable (lowest-stds) samples
+    """
+    import os
+
+    import numpy as np
+
+    out = os.path.join(str(output_dir), str(frame_id))
+    os.makedirs(out, exist_ok=True)
+    pts = np.asarray(batch['points'][b])
+    fake = np.asarray(batch['fake_labels'][b]) if 'fake_labels' in batch \
+        else np.zeros(len(pts), np.int32)
+    np.savetxt(os.path.join(out, 'points.txt'),
+               np.concatenate([pts[:, :3], fake[:, None]], axis=-1))
+
+    xyz = np.asarray(ret['layer_xyz'][b])
+    stds = np.asarray(ret['stds'][b])
+    heat = np.concatenate([xyz, stds[:, None]], axis=-1)
+    np.savetxt(os.path.join(out, 'heat_map.txt'), heat)
+
+    if gt_boxes is not None:
+        from .model import assign_stability_targets
+        fg_mask, _ = assign_stability_targets(
+            ret['layer_xyz'][b:b + 1], gt_boxes[b:b + 1])
+        np.savetxt(os.path.join(out, 'instance_map.txt'),
+                   heat[np.asarray(fg_mask[0])])
+
+    order = np.argsort(stds)[:min(topk, len(stds))]
+    np.savetxt(os.path.join(out, 'centain_points.txt'), heat[order])
+    return out

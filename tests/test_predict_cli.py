@@ -64,10 +64,19 @@ def test_predict_cli_end_to_end(tmp_path):
     r = subprocess.run(
         [sys.executable, 'tools/predict.py', '--cfg_file', str(cfg_path),
          '--data_dir', str(data_dir), '--out_dir', str(out_dir),
-         '--batch_size', '2', '--calib_dir', str(calib_dir)],
+         '--batch_size', '2', '--calib_dir', str(calib_dir),
+         '--save_sample_list'],
         cwd=REPO, capture_output=True, text=True, timeout=600, env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     assert 'scenes/s' in r.stdout
+
+    # SAVE_SAMPLE_LIST artifact: per-frame list of per-SA-layer sampled xyz
+    sl = sorted((out_dir / 'sample_list_save').glob('sample_list_*.npy'))
+    assert len(sl) == n_frames
+    layers = np.load(sl[0], allow_pickle=True)
+    assert len(layers) >= 2                       # raw cloud + >=1 SA layer
+    assert layers[0].shape[-1] == 3
+    assert layers[1].shape[0] < layers[0].shape[0]   # downsampling chain
 
     jsons = sorted(out_dir.glob('*.json'))
     assert len(jsons) == n_frames

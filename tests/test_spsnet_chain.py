@@ -86,7 +86,8 @@ def test_spsnet_stability_chain(tmp_path):
     r = subprocess.run(
         [sys.executable, 'tools/train_stability.py',
          '--cfg_file', str(cfg_path), '--output_dir', str(out_dir),
-         '--batch_size', '2', '--epochs', '2', '--workers', '2'],
+         '--batch_size', '2', '--epochs', '2', '--workers', '2',
+         '--save_vis'],
         capture_output=True, text=True, cwd='/root/repo', timeout=1200,
         env={**os.environ, 'JAX_PLATFORMS': 'cpu', 'SPSNET_PLATFORM': 'cpu'})
     if r.returncode != 0:
@@ -96,6 +97,16 @@ def test_spsnet_stability_chain(tmp_path):
     ckpt_dir = out_dir / 'ckpt'
     assert ckpt_dir.is_dir() and any(
         c.name.isdigit() for c in ckpt_dir.iterdir()), 'no checkpoint saved'
+
+    # --save_vis: the reference's save_vis_points artifact layout
+    vis = list((out_dir / 'vis').glob('*/'))
+    assert vis, 'no vis dir written'
+    names = {p.name for p in vis[0].iterdir()}
+    assert {'points.txt', 'heat_map.txt', 'instance_map.txt',
+            'centain_points.txt'} <= names
+    import numpy as np
+    heat = np.loadtxt(vis[0] / 'heat_map.txt')
+    assert heat.ndim == 2 and heat.shape[1] == 4   # xyz + stds
 
     # restore helper returns frozen generator variables
     from spsnet_tpu.stability.hook import load_generator_checkpoint

@@ -91,6 +91,13 @@ def main():
     parser.add_argument('--image_shape', type=int, nargs=2,
                         default=(375, 1242))
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--save_sample_list', action='store_true',
+                        help='also dump every SA layer\'s sampled xyz per '
+                             'frame (<out_dir>/sample_list_save/'
+                             'sample_list_<frame>.npy, a list of (Ni, 3) '
+                             'arrays) — the reference\'s SAVE_SAMPLE_LIST '
+                             'debug artifact (IASSD_backbone.py:189-209) '
+                             'without its hardcoded /home path')
     args = parser.parse_args()
 
     files = sorted(Path(args.data_dir).glob('*.bin')) + \
@@ -133,7 +140,11 @@ def main():
     @jax.jit
     def infer(points):
         out = model.apply(variables, {'points': points}, train=False)
-        return post_processing(out, cfg.MODEL.POST_PROCESSING)
+        dets = post_processing(out, cfg.MODEL.POST_PROCESSING)
+        if args.save_sample_list and 'encoder_xyz' in out:
+            dets = dict(dets)
+            dets['encoder_xyz'] = out['encoder_xyz']
+        return dets
 
     def make_batch(chunk):
         pts = np.stack([load_points(p, num_points, rng) for p in chunk])
@@ -168,6 +179,14 @@ def main():
                     'names': [class_names[int(k) - 1] for k in c],
                 }
                 (out_dir / f'{path.stem}.json').write_text(json.dumps(rec))
+                if args.save_sample_list and 'encoder_xyz' in dets:
+                    sl_dir = out_dir / 'sample_list_save'
+                    sl_dir.mkdir(exist_ok=True)
+                    xyz_list = [np.asarray(layer[bi])
+                                for layer in dets['encoder_xyz']]
+                    np.save(sl_dir / f'sample_list_{path.stem}.npy',
+                            np.asarray(xyz_list, dtype=object),
+                            allow_pickle=True)
                 if args.calib_dir:
                     from spsnet_tpu.data.kitti.calibration import Calibration
                     calib_file = Path(args.calib_dir) / f'{path.stem}.txt'

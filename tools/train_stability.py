@@ -22,6 +22,11 @@ def main():
     parser.add_argument('--extra_tag', type=str, default='default')
     parser.add_argument('--output_dir', type=str, default=None)
     parser.add_argument('--seed', type=int, default=42)
+    parser.add_argument('--save_vis', action='store_true',
+                        help='after training, dump stability heatmap txt '
+                             'artifacts for the first batch frame '
+                             '(<output_dir>/vis/, the reference\'s '
+                             'save_vis_points layout)')
     args = parser.parse_args()
 
     from spsnet_tpu.config import EDict, StaticConfig, cfg_from_yaml_file
@@ -107,6 +112,17 @@ def main():
                             float(tb['loss']))
         ckpt.save(epoch + 1, jax.device_get(state))
         logger.info('epoch %d done in %.1fs', epoch, time.time() - t0)
+
+    if args.save_vis:
+        from spsnet_tpu.stability.hook import save_vis_points
+        ret = model.apply({'params': state.params,
+                           'batch_stats': state.batch_stats},
+                          db, train=False)
+        out = save_vis_points(
+            db, ret, output_dir / 'vis',
+            frame_id=str(example.get('frame_id', ['frame0'])[0]),
+            gt_boxes=db.get('gt_boxes'))
+        logger.info('visualization artifacts written to %s', out)
 
 
 if __name__ == '__main__':
