@@ -100,8 +100,25 @@ def apply_stability_hook(generator_apply, generator_vars, batch, rng,
     """
     ret = generator_apply(generator_vars, batch, train=False)
     stds = ret['stds']
+    if 'fake_labels' in batch:
+        fake_labels = batch['fake_labels']
+    elif 'gt_boxes' in batch:
+        # data pipelines produce fake_labels host-side (add_fake_sem_label);
+        # for raw batches (bench/smoke/serving glue) derive the fg mask
+        # on-device from the boxes — the same first-containing-box rule
+        from .. import ops
+        box_idx = ops.points_in_boxes(batch['points'][..., :3],
+                                      batch['gt_boxes'][..., :7])
+        fake_labels = jnp.where(
+            box_idx >= 0,
+            jnp.take_along_axis(
+                batch['gt_boxes'][..., -1].astype(jnp.int32),
+                jnp.maximum(box_idx, 0), axis=1), 0)
+    else:
+        raise KeyError(
+            'stability hook needs fake_labels or gt_boxes in the batch')
     new_points, keep_idx = stability_delete_points(
-        batch['points'], stds, batch['fake_labels'], rng,
+        batch['points'], stds, fake_labels, rng,
         delete_number=delete_number, method=method)
     out = dict(batch)
     out['points'] = new_points

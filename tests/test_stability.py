@@ -145,3 +145,38 @@ def test_generate_center_v3_surface_variant():
                          rngs={'latent': jax.random.PRNGKey(2)})
     assert ret['soc_feature'].shape[-1] == 32 + 60
     assert np.isfinite(np.asarray(ret['center_pred'])).all()
+
+
+def test_hook_derives_fake_labels_from_gt_boxes():
+    """apply_stability_hook without host-side fake_labels: the fg mask is
+    derived on-device from gt_boxes (first-containing-box rule), so raw
+    batches (bench/serving glue) can use the hook."""
+    import jax
+    import jax.numpy as jnp
+
+    from spsnet_tpu.stability.hook import stability_delete_points
+    from spsnet_tpu import ops
+
+    rng = np.random.default_rng(0)
+    B, N = 2, 256
+    pts = rng.uniform(-10, 10, (B, N, 4)).astype(np.float32)
+    gt = np.zeros((B, 3, 8), np.float32)
+    gt[:, 0] = [0, 0, 0, 4, 4, 4, 0, 1]            # box at origin, class 1
+    gt[:, 1] = [6, 6, 0, 3, 3, 3, 0.5, 2]
+    box_idx = np.asarray(ops.points_in_boxes(
+        jnp.asarray(pts[..., :3]), jnp.asarray(gt[..., :7])))
+    derived = np.where(box_idx >= 0,
+                       np.take_along_axis(gt[..., -1].astype(np.int32),
+                                          np.maximum(box_idx, 0), axis=1), 0)
+    assert (derived > 0).any()
+
+    # hook path end-to-end: stds low inside boxes -> fg deleted first
+    stds = jnp.asarray(rng.uniform(0, 1, (B, N)).astype(np.float32))
+    newp, keep = stability_delete_points(
+        jnp.asarray(pts), stds, jnp.asarray(derived), jax.random.PRNGKey(0),
+        delete_number=32)
+    kept_labels = np.take_along_axis(derived, np.asarray(keep), axis=1)
+    n_fg = (derived > 0).sum(axis=1)
+    for b in range(B):
+        expect_kept_fg = max(0, int(n_fg[b]) - 32)
+        assert (kept_labels[b] > 0).sum() == expect_kept_fg
