@@ -163,6 +163,8 @@ class VoxelSetAbstraction(nn.Module):
                                                      sa.NSAMPLE, sa.MLPS)):
                     grouped, _ = ops.query_and_group(
                         float(r), int(ns), xyz, keypoints, raw_feats)
+                    # stack-op semantics: empty balls are zeroed pre-MLP
+                    grouped = ops.grouping.zero_empty_balls(grouped, r)
                     h = SharedMLP(list(mlp), name=f'raw_mlp_{i}')(grouped,
                                                                   train=train)
                     scale.append(jnp.max(h, axis=2))
@@ -195,6 +197,7 @@ class VoxelSetAbstraction(nn.Module):
                                                      sa.NSAMPLE, sa.MLPS)):
                     grouped, _ = ops.query_and_group(
                         float(r), int(ns), centers, keypoints, src_feats)
+                    grouped = ops.grouping.zero_empty_balls(grouped, r)
                     h = SharedMLP(list(mlp), name=f'{name}_mlp_{i}')(grouped,
                                                                      train=train)
                     scale.append(jnp.max(h, axis=2))

@@ -100,15 +100,28 @@ class PVRCNNHead(nn.Module):
                 kp_masked = jnp.where(batch['point_valid'][..., None], kp,
                                       1e6)
             pooled = self.vp_pool(kp_masked, kp_feats, grid_flat, train=train)
-            return pooled.reshape(B, R, G3 * pooled.shape[-1])
+            return self._flatten_pooled(pooled, B, R, G3)
 
         scale_feats = []
         for i, (r, ns) in enumerate(zip(self.pool_radii, self.pool_nsamples)):
             grouped, _ = ops.query_and_group(r, ns, kp, grid_flat, kp_feats)
+            # stack QueryAndGroup zeroes empty balls pre-MLP
+            grouped = ops.grouping.zero_empty_balls(grouped, r)
             h = self.pool_layers[i](grouped, train=train)
             scale_feats.append(jnp.max(h, axis=2))
         pooled = jnp.concatenate(scale_feats, axis=-1)   # (B, R*G3, C)
-        return pooled.reshape(B, R, G3 * pooled.shape[-1])
+        return self._flatten_pooled(pooled, B, R, G3)
+
+    @staticmethod
+    def _flatten_pooled(pooled, B, R, G3):
+        """(B, R*G3, C) -> (B, R, C*G3) CHANNEL-major, the reference's
+        ``pooled_features.permute(0, 2, 1).view(B, -1, 1)`` flatten
+        (``pvrcnn_head.py:155-158``) — the shared_fc kernel's input layout
+        is defined by this order, so checkpoint import depends on it
+        (forward parity pins it: tests/test_pvrcnn_forward_parity.py)."""
+        C = pooled.shape[-1]
+        return jnp.transpose(pooled.reshape(B, R, G3, C),
+                             (0, 1, 3, 2)).reshape(B, R, C * G3)
 
     def propose_and_assign(self, batch, train: bool = True):
         """Proposal NMS + (train) roi target sampling, callable BEFORE the

@@ -306,6 +306,23 @@ def query_and_group(radius, nsample, xyz, new_xyz, features=None, use_xyz=True,
     return grouped_xyz, idx
 
 
+def zero_empty_balls(grouped, radius):
+    """Zero grouped rows whose ball found NO in-radius point — the stack
+    QueryAndGroup semantics (``pointnet2_stack/pointnet2_utils.py:139-143``:
+    ``grouped[empty_ball_mask] = 0`` BEFORE the MLP). The batch-family CUDA
+    kernels have no such mask (they gather point 0), so this applies only
+    where the reference uses the stack ops (VSA, RoI-grid pool).
+
+    grouped: (B, M, S, 3 + C) from ``query_and_group(use_xyz=True)`` —
+    slot 0 holds the FIRST in-radius hit when one exists, so the ball is
+    empty iff slot 0's center-relative xyz is outside the radius (strict
+    ``d2 < r^2``, matching the query).
+    """
+    slot0 = grouped[..., 0, :3]
+    empty = jnp.sum(slot0 * slot0, axis=-1) >= jnp.float32(radius) ** 2
+    return jnp.where(empty[..., None, None], 0.0, grouped)
+
+
 _MSG_SHARED_OVERRIDE = None
 
 
