@@ -180,15 +180,15 @@ class CenterHead(nn.Module):
             ret.update({'heatmap_target': hm_t, 'box_targets': boxes_t,
                         'inds': inds_t, 'masks': mask_t})
 
-        # decode: peak NMS + top-K
+        # decode: global top-K over (pixel, class) pairs — the upstream
+        # protocol (``centernet_utils._topk``: per-class top-K then top-K
+        # of those == global top-K; NO max-pool peak filter — the
+        # circle_nms branch that would apply one asserts False upstream)
         K = int(self.model_cfg.POST_CONFIG.get('MAX_OBJ_PER_SAMPLE', 500)) \
             if self.model_cfg.get('POST_CONFIG', None) else 500
         K = min(K, H * W * self.num_class)
         hm_sig = jax.nn.sigmoid(hm)
-        hm_max = nn.max_pool(hm_sig, (3, 3), strides=(1, 1),
-                             padding=((1, 1), (1, 1)))
-        peaks = jnp.where(hm_sig == hm_max, hm_sig, 0.0)
-        flat = peaks.reshape(B, H * W * self.num_class)
+        flat = hm_sig.reshape(B, H * W * self.num_class)
         scores, top_idx = jax.lax.top_k(flat, K)
         cls_id = top_idx % self.num_class
         pix = top_idx // self.num_class

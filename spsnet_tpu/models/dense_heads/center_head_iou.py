@@ -176,18 +176,41 @@ class CenterHeadIoU(nn.Module):
         n_pre = int(nms_cfg.get('NMS_PRE_MAXSIZE', 500))
         n_post = int(nms_cfg.get('NMS_POST_MAXSIZE', 80))
 
+        # Two decode protocols share this fixed-shape machinery:
+        # - upstream CenterHead (``center_head.py:253-295`` +
+        #   ``centernet_utils._topk``): global top-K over (class, pixel)
+        #   pairs, NO peak filter, class_agnostic_nms per head group;
+        # - the fork's CenterHeadIoU (``center_head_iou.py:585-650``):
+        #   per-PIXEL class max (one candidate per pixel), score rectified
+        #   by the iou head, then agnostic_nms or class_specific_nms per
+        #   POST_PROCESSING.NMS_CONFIG.NMS_NAME.
+        # Parity for the upstream branch is pinned by
+        # tests/test_centerpoint_forward_parity.py.
+        upstream = str(self.model_cfg.get('NAME', 'CenterHeadIoU')) == \
+            'CenterHead'
+        nms_name = str(nms_cfg.get(
+            'NMS_NAME', 'agnostic_nms' if upstream else 'class_specific_nms'))
+        nms_thresh = float(nms_cfg.get('NMS_THRESH', 0.1))
+
         all_boxes, all_scores, all_labels, all_valid = [], [], [], []
         for gi, (ids, pred) in enumerate(
                 zip(self.class_ids_each_head, pred_dicts)):
             hm = jax.nn.sigmoid(pred['hm'])
-            hm_max = nn.max_pool(hm, (3, 3), strides=(1, 1),
-                                 padding=((1, 1), (1, 1)))
-            peaks = jnp.where(hm == hm_max, hm, 0.0)
             G = len(ids)
-            flat = peaks.reshape(B, H * W * G)
-            scores, top_idx = jax.lax.top_k(flat, n_pre)
-            cls_local = top_idx % G
-            pix = top_idx // G
+            if upstream:
+                # candidate set = top MAX_OBJ_PER_SAMPLE over (pixel, class)
+                # (``decode_bbox_from_heatmap`` K), NOT the NMS presize
+                max_obj = int(pp.get('MAX_OBJ_PER_SAMPLE', 500))
+                flat = hm.reshape(B, H * W * G)
+                scores, top_idx = jax.lax.top_k(flat,
+                                                min(max_obj, H * W * G))
+                cls_local = top_idx % G
+                pix = top_idx // G
+            else:
+                px_scores = jnp.max(hm, axis=-1).reshape(B, H * W)
+                px_cls = jnp.argmax(hm, axis=-1).reshape(B, H * W)
+                scores, pix = jax.lax.top_k(px_scores, min(n_pre, H * W))
+                cls_local = jnp.take_along_axis(px_cls, pix, axis=1)
 
             boxes = self._decode_at(pred, pix, B)
             if 'iou' in pred:
@@ -200,30 +223,43 @@ class CenterHeadIoU(nn.Module):
             in_range = jnp.all(boxes[..., :3] >= post_range[:3], axis=-1) & \
                 jnp.all(boxes[..., :3] <= post_range[3:], axis=-1)
 
-            # class_specific_nms: each class in the group gets its own NMS
-            # and its own n_post output slots
-            for li, gid in enumerate(ids):
-                r = float(rectifier[gid]) if rectifier.size > 1 \
-                    else float(rectifier.reshape(-1)[0])
-                s = jnp.power(jnp.clip(scores, 1e-9, None), 1.0 - r) * \
-                    jnp.power(jnp.clip(iou, 1e-9, None), r)
-                ok = in_range & (s > score_thresh) & (cls_local == li)
-                s = jnp.where(ok, s, 0.0)
+            ids_arr = jnp.asarray(np.asarray(ids, np.int32))
+            gids = ids_arr[cls_local]                   # global class ids
+            if rectifier.size > 1:
+                r = jnp.asarray(rectifier)[gids]
+            else:
+                r = jnp.float32(rectifier.reshape(-1)[0])
+            s_all = jnp.power(jnp.clip(scores, 1e-9, None), 1.0 - r) * \
+                jnp.power(jnp.clip(iou, 1e-9, None), r)
 
-                def nms_one(b, s_, v):
-                    keep, cnt = box_ops.nms_bev(
-                        b, s_, float(nms_cfg.get('NMS_THRESH', 0.1)),
-                        pre_maxsize=n_pre, post_maxsize=n_post, valid=v)
-                    sl = jnp.arange(n_post) < cnt
-                    kc = jnp.clip(keep, 0, None)
-                    return b[kc], jnp.where(sl, s_[kc], 0.0), sl
+            def nms_one(b, s_, v):
+                keep, cnt = box_ops.nms_bev(
+                    b, s_, nms_thresh,
+                    pre_maxsize=n_pre, post_maxsize=n_post, valid=v)
+                sl = jnp.arange(n_post) < cnt
+                kc = jnp.clip(keep, 0, None)
+                return b[kc], jnp.where(sl, s_[kc], 0.0), kc, sl
 
-                bb, ss, vv = jax.vmap(nms_one)(boxes, s, ok)
+            if nms_name == 'agnostic_nms':
+                ok = in_range & (s_all > score_thresh)
+                bb, ss, kc, vv = jax.vmap(nms_one)(
+                    boxes, jnp.where(ok, s_all, 0.0), ok)
                 all_boxes.append(bb)
                 all_scores.append(ss)
-                all_labels.append(
-                    jnp.full((B, n_post), gid + 1, jnp.int32))
+                all_labels.append(jnp.take_along_axis(gids, kc, axis=1) + 1)
                 all_valid.append(vv)
+            else:
+                # class_specific_nms: each class in the group gets its own
+                # NMS and its own n_post output slots
+                for li, gid in enumerate(ids):
+                    ok = in_range & (s_all > score_thresh) & (cls_local == li)
+                    bb, ss, _, vv = jax.vmap(nms_one)(
+                        boxes, jnp.where(ok, s_all, 0.0), ok)
+                    all_boxes.append(bb)
+                    all_scores.append(ss)
+                    all_labels.append(
+                        jnp.full((B, n_post), gid + 1, jnp.int32))
+                    all_valid.append(vv)
 
         boxes = jnp.concatenate(all_boxes, axis=1)
         scores = jnp.concatenate(all_scores, axis=1)

@@ -73,7 +73,11 @@ def build_detector_from_cfg(cfg, **extra):
             kwargs.setdefault('point_cloud_range',
                               tuple(float(v) for v in pcr))
         for p in data_cfg.get('DATA_PROCESSOR', []) or []:
-            if p['NAME'] == 'transform_points_to_voxels':
+            # incl. transform_points_to_voxels_placeholder — the dynamic
+            # voxelization configs carry VOXEL_SIZE there (the reference
+            # reads it the same way, ``data_processor.py`` placeholder)
+            if p['NAME'].startswith('transform_points_to_voxels') \
+                    and 'VOXEL_SIZE' in p:
                 kwargs.setdefault('voxel_size',
                                   tuple(float(v) for v in p['VOXEL_SIZE']))
         pfe = data_cfg.get('POINT_FEATURE_ENCODING', None)

@@ -393,6 +393,41 @@ def convert_reference_state_dict(state_dict, allow_partial=False,
                         _conv2d_kernel(t))
                 else:
                     put(params, ['dense_head', parts[1], 'bias'], t)
+            elif parts[0] == 'dense_head' and parts[1] == 'shared_conv':
+                # CenterHead family: Sequential [Conv2d, BN2d, ReLU]
+                idx, leaf = int(parts[2]), parts[3]
+                if idx == 0:
+                    put(params, ['dense_head', 'shared_conv',
+                                 'kernel' if leaf == 'weight' else 'bias'],
+                        _conv2d_kernel(t) if leaf == 'weight' else t)
+                else:
+                    _put_named_bn(put, params, stats,
+                                  ['dense_head', 'shared_bn'], leaf, t)
+            elif parts[0] == 'dense_head' and parts[1] == 'heads_list':
+                # SeparateHead (``center_head.py:10-38``): per output name a
+                # Sequential of (num_conv-1) nested [Conv2d, BN2d, ReLU]
+                # blocks (keys {name}.{k}.0.* / {name}.{k}.1.*) + a bare
+                # final biased Conv2d ({name}.{K}.weight/bias)
+                g, hname = int(parts[2]), parts[3]
+                base = ['dense_head', f'head_{g}']
+                if len(parts) == 6:                     # final bare conv
+                    leaf = parts[5]
+                    put(params, base + [f'{hname}_out',
+                                        'kernel' if leaf == 'weight'
+                                        else 'bias'],
+                        _conv2d_kernel(t) if leaf == 'weight' else t)
+                elif len(parts) == 7:
+                    k, j, leaf = int(parts[4]), int(parts[5]), parts[6]
+                    if j == 0:
+                        put(params, base + [f'{hname}_conv{k}',
+                                            'kernel' if leaf == 'weight'
+                                            else 'bias'],
+                            _conv2d_kernel(t) if leaf == 'weight' else t)
+                    else:
+                        _put_named_bn(put, params, stats,
+                                      base + [f'{hname}_bn{k}'], leaf, t)
+                else:
+                    raise ImportError3D(name)
             elif 'num_batches_tracked' in name or parts[0] in (
                     'global_step',):
                 continue

@@ -37,6 +37,11 @@ def load_reference_pcdet():
     # the reference tensors are created with .cuda(); keep them on CPU
     torch.Tensor.cuda = lambda self, *a, **k: self  # noqa: E731
     torch.nn.Module.cuda = lambda self, *a, **k: self  # noqa: E731
+    # the reference pins numpy<=1.19.2 (requirements.txt) and uses the
+    # long-removed np.int alias (base_bev_backbone.py:60)
+    import numpy as _np
+    if not hasattr(_np, 'int'):
+        _np.int = int
 
     # Stub only deps that are genuinely absent: sys.modules entries are
     # process-global, and a raising fake for an INSTALLED package (scipy is
