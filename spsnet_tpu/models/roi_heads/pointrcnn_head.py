@@ -48,11 +48,14 @@ class PointRCNNHead(nn.Module):
                 mlps=[list(sa_cfg.MLPS[k])],
                 name=f'sa_{k}'))
         self.sa_modules = sa_modules
+        # the cls/reg towers come from RoIHeadTemplate.make_fc_layers,
+        # which ALWAYS interleaves BN (``roi_head_template.py:36-44``) —
+        # the head's USE_BN flag governs only xyz_up/merge/SA stacks
         self.cls_layers = MLPHead(list(self.model_cfg.CLS_FC), self.num_class,
-                                  use_bn=use_bn, name='cls_layers')
+                                  use_bn=True, name='cls_layers')
         self.reg_layers = MLPHead(list(self.model_cfg.REG_FC),
                                   self.box_coder.code_size * self.num_class,
-                                  use_bn=use_bn, name='reg_layers')
+                                  use_bn=True, name='reg_layers')
 
     def proposal_layer(self, batch, nms_cfg):
         """Stage-1 preds -> rois via class-agnostic NMS

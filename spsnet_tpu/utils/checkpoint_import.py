@@ -145,7 +145,7 @@ def _seq_layout(state_dict):
         convs = sorted(kinds.get('dense', []))
         for k, idx in enumerate(convs):
             final = idx == convs[-1] and f'{pre}.{idx}.bias' in state_dict
-            layout[(pre, idx)] = ('final', 0) if final else ('dense', k)
+            layout[(pre, idx)] = ('final', k) if final else ('dense', k)
         for k, idx in enumerate(sorted(kinds.get('bn', []))):
             layout[(pre, idx)] = ('bn', k)
     return layout
@@ -239,6 +239,31 @@ def convert_reference_state_dict(state_dict, allow_partial=False,
                         put(params, base + ['bias'], t)
                 else:
                     raise ImportError3D(name)
+            elif parts[0] == 'backbone_3d' and parts[1] == 'FP_modules':
+                # PointNet2MSG feature-propagation decoder
+                i, idx, leaf = int(parts[2]), int(parts[4]), parts[5]
+                kind, k = seq_layout['.'.join(parts[:4]), idx]
+                _put_layer(put, params, stats,
+                           ['backbone_3d', f'fp_{i}', 'mlp'], kind, k,
+                           leaf, t)
+            elif parts[0] == 'roi_head' and parts[1] == 'SA_modules':
+                # PointRCNNHead per-stage SA stacks
+                i, s = int(parts[2]), int(parts[4])
+                idx, leaf = int(parts[5]), parts[6]
+                kind, k = seq_layout['.'.join(parts[:5]), idx]
+                _put_layer(put, params, stats,
+                           ['roi_head', f'sa_{i}', f'mlp_{s}'], kind, k,
+                           leaf, t)
+            elif parts[0] == 'roi_head' and parts[1] in (
+                    'xyz_up_layer', 'merge_down_layer'):
+                # no-BN SharedMLP stacks: every conv (incl. the biased
+                # last) is Dense_{rank}
+                idx, leaf = int(parts[2]), parts[3]
+                kind, k = seq_layout['.'.join(parts[:2]), idx]
+                base = ['roi_head', 'xyz_up' if parts[1] == 'xyz_up_layer'
+                        else 'merge']
+                _put_layer(put, params, stats, base, 'dense' if
+                           kind in ('dense', 'final') else kind, k, leaf, t)
             elif parts[0] == 'point_head' and parts[1] in _HEAD_MAP:
                 pre = '.'.join(parts[:2])
                 idx, leaf = int(parts[2]), parts[3]
@@ -359,12 +384,13 @@ def convert_reference_state_dict(state_dict, allow_partial=False,
                                kind, k, leaf, t)
                 else:
                     raise ImportError3D(name)
-            elif parts[0] == 'point_head' and parts[1] == 'cls_layers':
-                # PointHeadSimple (PV-RCNN keypoint segmentation head)
+            elif parts[0] == 'point_head' and parts[1] in (
+                    'cls_layers', 'box_layers', 'part_reg_layers'):
+                # PointHeadSimple / PointHeadBox / PointIntraPartOffsetHead
                 idx, leaf = int(parts[2]), parts[3]
                 kind, k = seq_layout['.'.join(parts[:2]), idx]
                 _put_head_layer(put, params, stats,
-                                ['point_head', 'cls_layers'], kind, k,
+                                ['point_head', parts[1]], kind, k,
                                 leaf, t)
             elif parts[0] == 'roi_head':
                 if parts[1] == 'roi_grid_pool_layer' and parts[2] == 'mlps':
@@ -445,7 +471,10 @@ def convert_reference_state_dict(state_dict, allow_partial=False,
 
 def _put_layer(put, params, stats, base, kind, k, leaf, t):
     if kind == 'dense':
-        put(params, base + [f'Dense_{k}', 'kernel'], _dense_kernel(t))
+        if leaf == 'bias':        # no-BN stacks carry biased hidden convs
+            put(params, base + [f'Dense_{k}', 'bias'], t)
+        else:
+            put(params, base + [f'Dense_{k}', 'kernel'], _dense_kernel(t))
     elif kind == 'bn':
         if leaf == 'weight':
             put(params, base + [f'BatchNorm_{k}', 'scale'], t)
@@ -474,8 +503,11 @@ def _put_head_layer(put, params, stats, base, kind, k, leaf, t):
         else:
             put(params, base + ['Dense_0', 'bias'], t)
     elif kind == 'dense':
-        put(params, base + ['SharedMLP_0', f'Dense_{k}', 'kernel'],
-            _dense_kernel(t))
+        if leaf == 'bias':        # no-BN stacks carry biased hidden convs
+            put(params, base + ['SharedMLP_0', f'Dense_{k}', 'bias'], t)
+        else:
+            put(params, base + ['SharedMLP_0', f'Dense_{k}', 'kernel'],
+                _dense_kernel(t))
     elif kind == 'bn':
         _put_layer(put, params, stats, base + ['SharedMLP_0'],
                    'bn', k, leaf, t)

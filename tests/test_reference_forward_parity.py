@@ -79,6 +79,7 @@ def _patch_reference_cuda_ops():
         return torch.from_numpy(out)
 
     pu.furthest_point_sample = t_fps
+    pu.farthest_point_sample = t_fps       # both spellings exist upstream
     pu.gather_operation = t_gather
     pu.ball_query = t_ball_query
     pu.grouping_operation = t_group
