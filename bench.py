@@ -143,7 +143,9 @@ def main():
         'unit': 'scenes/sec',
         'vs_baseline': round(scenes_per_sec / A100_REFERENCE_SCENES_PER_SEC, 3),
         'ms_per_batch': round(ms_per_batch, 2),
-        'flops_per_batch': infer_flops,
+        # None (JSON null), never float nan: json.dumps would emit a bare
+        # NaN token that strict parsers reject, losing the headline line
+        'flops_per_batch': infer_flops if np.isfinite(infer_flops) else None,
         'mfu': round(mfu, 4) if np.isfinite(mfu) else None,
         'mfu_peak_flops': V5E_PEAK_FLOPS,
         **train,
@@ -197,7 +199,8 @@ def _measure_train():
         return {
             'train_scenes_per_sec': round(B / best, 2),
             'train_ms_per_batch': round(best * 1000.0, 2),
-            'train_flops_per_batch': train_flops,
+            'train_flops_per_batch': (train_flops if np.isfinite(train_flops)
+                                      else None),
             'train_mfu': round(mfu, 4) if np.isfinite(mfu) else None,
         }
     except Exception as e:  # noqa: BLE001 — never sink the headline number

@@ -125,10 +125,12 @@ def _accumulate(gt_annos, det_annos, cls, dist_th):
                 match['AVE'].append(
                     float(np.linalg.norm(d[7:9] - g[7:9]))
                     if len(d) >= 9 and len(g) >= 9 else np.nan)
+                # devkit attr_acc: gt annotations without attributes ('')
+                # yield NaN and are skipped by cummean, not counted as errors
                 match['AAE'].append(
                     float(d_attrs[ri] != g_attrs[j])
                     if d_attrs is not None and g_attrs is not None
-                    else np.nan)
+                    and g_attrs[j] != '' else np.nan)
                 match_conf.append(score)
                 continue
         tp.append(0.0)

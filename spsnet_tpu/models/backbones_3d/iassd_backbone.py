@@ -45,11 +45,14 @@ class IASSDBackbone(nn.Module):
         channel_in = self.input_channels - 3
         channel_out_list = [channel_in]
         modules = []
-        # fps_ordered[j]: encoder_xyz[j] is a D-FPS chain in selection order
-        # (output of a pure single-D-FPS SA layer). A later D-FPS layer fed
-        # such an input prefix-nests: its result IS arange(npoint)
-        # (see SAModuleMSGWithSampling._sample) — the layer-2 FPS of IA-SSD
-        # becomes free.
+        # dfps_layer[j]: encoder_xyz[j] is configured as the output of a pure
+        # single-D-FPS SA layer. A later D-FPS layer fed such an input
+        # prefix-nests: its result IS arange(npoint) (see
+        # SAModuleMSGWithSampling._sample) — the layer-2 FPS of IA-SSD
+        # becomes free. Whether the producing layer actually RAN FPS (vs the
+        # n <= npoint pass-through, whose output keeps the input's order) is
+        # shape-dependent, so the final fps_ordered flag is re-derived from
+        # concrete shapes in __call__ and passed per call.
         fps_ordered = [False]
         for k in range(len(sa_cfg.NSAMPLE_LIST)):
             layer_input = self.layer_inputs[k]
@@ -107,6 +110,12 @@ class IASSDBackbone(nn.Module):
                 raise NotImplementedError(self.layer_types[k])
             channel_out_list.append(channel_out)
         self.sa_modules = modules
+        self._dfps_static = fps_ordered
+        self._npoint0 = [
+            (int(sa_cfg.NPOINT_LIST[k][0])
+             if self.layer_types[k] == 'SA_Layer' and sa_cfg.NPOINT_LIST[k]
+             else 0)
+            for k in range(len(sa_cfg.NSAMPLE_LIST))]
         self.num_point_features = channel_out
         if sa_cfg.get('USE_SURFACE', False):
             self.sf_extract = FeatureExtraction(name='sf_extract')
@@ -131,22 +140,38 @@ class IASSDBackbone(nn.Module):
         li_cls_pred = None
         centers = centers_origin = ctr_offsets = None
         surface_feature = None
+        # fps_ordered[j]: encoder_xyz[j] is a D-FPS chain in selection order.
+        # Re-derived here from concrete shapes: a configured D-FPS layer whose
+        # input already fits (n <= npoint) pass-throughs identically, so its
+        # output inherits the INPUT's order instead of becoming a chain.
+        fps_ordered = [False]
         for i, module in enumerate(self.sa_modules):
+            in_idx = self.layer_inputs[i]
+            if isinstance(in_idx, list):
+                in_idx = in_idx[-1]
             xyz_input = encoder_xyz[self.layer_inputs[i]]
             feat_input = encoder_features[self.layer_inputs[i]]
 
             if self.layer_types[i] == 'SA_Layer':
                 ctr_xyz = (encoder_xyz[self.ctr_idx_list[i]]
                            if self.ctr_idx_list[i] != -1 else None)
+                if self._dfps_static[i + 1] and ctr_xyz is None:
+                    sampled_here = xyz_input.shape[1] > self._npoint0[i]
+                    fps_ordered.append(
+                        True if sampled_here else fps_ordered[in_idx])
+                else:
+                    fps_ordered.append(False)
                 li_xyz, li_features, li_cls_pred, sampled_idx, stds = module(
                     xyz_input, feat_input, li_cls_pred, ctr_xyz=ctr_xyz,
-                    stds=stds, train=train)
+                    stds=stds, train=train,
+                    input_fps_ordered=bool(fps_ordered[in_idx]))
                 if self.sf_extract is not None and i <= 3:
                     if i == 0:
                         surface_feature = self.sf_extract(xyz)
                     surface_feature = ops.gather_points(
                         surface_feature, sampled_idx)
             else:  # Vote_Layer
+                fps_ordered.append(False)
                 li_xyz, li_features, xyz_select, ctr_offsets = module(
                     xyz_input, feat_input,
                     surface_features=surface_feature,

@@ -45,11 +45,17 @@ class SAModuleMSGWithSampling(nn.Module):
     sfps_min_unique: int = 3500
     # the input point set is a D-FPS chain in selection order (set by the
     # backbone from static config analysis) — enables the prefix-nesting
-    # shortcut in _sample; SPSNET_FPS_PREFIX=0 disables
+    # shortcut in _sample; SPSNET_FPS_PREFIX=0 disables. The backbone
+    # overrides this per call with a shape-aware value (a configured D-FPS
+    # layer that pass-through'd because n <= npoint emits raw order, not a
+    # chain — the static flag alone cannot see that).
     input_fps_ordered: bool = False
 
-    def _sample(self, xyz, features, cls_features, stds):
+    def _sample(self, xyz, features, cls_features, stds,
+                input_fps_ordered=None):
         """Run the configured sampler chain; returns (idx, stds)."""
+        if input_fps_ordered is None:
+            input_fps_ordered = self.input_fps_ordered
         B, N, _ = xyz.shape
         sampled, last_end = [], 0
         out_stds = stds
@@ -85,7 +91,12 @@ class SAModuleMSGWithSampling(nn.Module):
             elif 'D-FPS' in stype or 'DFS' in stype:
                 seeding = 0.0 < float(
                     os.environ.get('SPSNET_FPS_SEED', '0')) < 1.0
-                if (self.input_fps_ordered and last_end == 0 and not seeding
+                # chunked FPS emits concatenated per-slice chains, not one
+                # selection-order chain — the shortcut would keep slice 0 only
+                chunked = int(
+                    os.environ.get('SPSNET_FPS_CHUNKS', '1') or '1') > 1
+                if (input_fps_ordered and last_end == 0 and not seeding
+                        and not chunked
                         and os.environ.get('SPSNET_FPS_PREFIX', '1') != '0'):
                     # prefix-nesting: xyz_t is (a head slice of) a D-FPS
                     # chain in selection order, and FPS restricted to its
@@ -121,7 +132,8 @@ class SAModuleMSGWithSampling(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, features=None, cls_features=None, new_xyz=None,
-                 ctr_xyz=None, stds=None, train: bool = True):
+                 ctr_xyz=None, stds=None, train: bool = True,
+                 input_fps_ordered=None):
         """
         Args:
             xyz: (B, N, 3); features: (B, N, C) or None;
@@ -135,7 +147,9 @@ class SAModuleMSGWithSampling(nn.Module):
         """
         sampled_idx = None
         if ctr_xyz is None:
-            sampled_idx, stds = self._sample(xyz, features, cls_features, stds)
+            sampled_idx, stds = self._sample(
+                xyz, features, cls_features, stds,
+                input_fps_ordered=input_fps_ordered)
             new_xyz = ops.gather_points(xyz, sampled_idx)
         else:
             new_xyz = ctr_xyz

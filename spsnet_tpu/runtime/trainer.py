@@ -221,11 +221,13 @@ class Trainer:
         data_timer, batch_timer = AverageMeter(), AverageMeter()
         global_step = int(start_epoch) * (self.total_iters_each_epoch or 0)
 
-        # Preemption safety (beyond the reference, which loses the epoch in
-        # progress): SIGTERM/SIGUSR1 — what preemptible TPU pods and SLURM
-        # send before eviction — requests a graceful stop; the loop then
-        # checkpoints at the next step boundary and returns. Auto-resume
-        # redoes the interrupted epoch (epoch-granular semantics preserved).
+        # Preemption handling: SIGTERM/SIGUSR1 — what preemptible TPU pods
+        # and SLURM send before eviction — requests a graceful stop; the loop
+        # exits cleanly at the next step boundary WITHOUT writing a
+        # checkpoint (checkpoints are epoch-granular; mid-epoch state is
+        # never saved). Auto-resume restarts the interrupted epoch from the
+        # previous epoch's checkpoint, or from initialization if none
+        # completed.
         preempt = {'hit': False}
 
         def _on_preempt(signum, frame):
@@ -238,7 +240,7 @@ class Trainer:
             except (ValueError, OSError):
                 pass   # not the main thread (e.g. under a test harness)
 
-        def _preempt_save(epoch):
+        def _log_preempt(epoch):
             # Never write MID-epoch state: checkpoint step k means "k epochs
             # completed" (saved at epoch end below), and resume semantics are
             # epoch-granular. The previous epoch's checkpoint (or init, for a
@@ -267,7 +269,7 @@ class Trainer:
                     batch_timer.update(time.time() - t_iter)
                     t_iter = time.time()
                     if preempt['hit']:
-                        _preempt_save(epoch)
+                        _log_preempt(epoch)
                         mlog.close()
                         return state
                     if n_iter % log_every == 0:

@@ -84,3 +84,71 @@ def test_post_processing(model_and_vars):
     for b in range(B):
         assert (labels[b, :count[b]] >= 1).all()
         assert (labels[b, count[b]:] == 0).all()
+
+
+def test_fps_prefix_shortcut_passthrough_producer():
+    """A configured D-FPS layer whose input already fits (n <= npoint) is an
+    identity pass-through: its output keeps RAW order, so the next D-FPS
+    layer must NOT take the prefix-nesting shortcut (code-review r3: the
+    static config flag alone fired it, silently returning the first npoint
+    raw points)."""
+    from spsnet_tpu.config import StaticConfig
+    from spsnet_tpu.models.backbones_3d.iassd_backbone import IASSDBackbone
+    from spsnet_tpu import ops
+
+    cfg = tiny_iassd_cfg()
+    sa = cfg.BACKBONE_3D.SA_CONFIG
+    sa.NPOINT_LIST = [[64], [16], [8], [4], [-1], [4]]
+    backbone = IASSDBackbone(model_cfg=StaticConfig(cfg.BACKBONE_3D),
+                             num_class=3, input_channels=4)
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-10, 10, size=(2, 48, 4)).astype(np.float32)
+    batch = {'points': jnp.asarray(pts)}
+    out, _ = backbone.init_with_output(jax.random.PRNGKey(0), batch,
+                                       train=False)
+
+    # layer 0 pass-through (48 <= 64): encoder_xyz[1] is the raw cloud
+    np.testing.assert_array_equal(np.asarray(out['encoder_xyz'][1]),
+                                  pts[..., :3])
+    # layer 1 must run REAL D-FPS on the raw-ordered cloud, not arange(16)
+    expect = ops.gather_points(jnp.asarray(pts[..., :3]),
+                               ops.farthest_point_sample(
+                                   jnp.asarray(pts[..., :3]), 16))
+    np.testing.assert_allclose(np.asarray(out['encoder_xyz'][2]),
+                               np.asarray(expect), rtol=0, atol=0)
+
+
+def test_fps_prefix_shortcut_disabled_under_chunked_fps(monkeypatch):
+    """SPSNET_FPS_CHUNKS produces concatenated per-slice chains, not one
+    selection-order chain — the prefix shortcut in
+    ``SAModuleMSGWithSampling._sample`` must disable itself (else the
+    consuming layer would keep slice 0's picks only). Tested at the module
+    level with a deliberately NON-FPS-ordered input and the ordered flag
+    forced on: with CHUNKS set the module must run real FPS."""
+    from spsnet_tpu.models.sa_module import SAModuleMSGWithSampling
+    from spsnet_tpu import ops
+
+    rng = np.random.default_rng(4)
+    xyz = jnp.asarray(rng.uniform(-10, 10, size=(2, 64, 3)).astype(
+        np.float32))
+    module = SAModuleMSGWithSampling(
+        npoint_list=[16], sample_range_list=[-1],
+        sample_type_list=['D-FPS'], radii=[], nsamples=[], mlps=[],
+        num_class=3, input_fps_ordered=True)
+    feats = jnp.ones((2, 64, 4), jnp.float32)
+
+    monkeypatch.setenv('SPSNET_FPS_CHUNKS', '4')
+    out, _ = module.init_with_output(jax.random.PRNGKey(0), xyz, feats,
+                                     train=False)
+    got = np.asarray(out[3])                            # sampled_idx
+    expect = np.asarray(ops.farthest_point_sample(xyz, 16))
+    np.testing.assert_array_equal(got, expect)
+    assert not np.array_equal(got, np.broadcast_to(np.arange(16), (2, 16)))
+
+    # control: without CHUNKS the forced flag takes the shortcut
+    monkeypatch.delenv('SPSNET_FPS_CHUNKS')
+    out2, _ = module.init_with_output(jax.random.PRNGKey(0), xyz, feats,
+                                      train=False)
+    np.testing.assert_array_equal(
+        np.asarray(out2[3]),
+        np.broadcast_to(np.arange(16, dtype=np.int32), (2, 16)))

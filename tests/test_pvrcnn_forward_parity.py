@@ -152,6 +152,11 @@ def test_pvrcnn_two_stage_forward_parity():
     from tests.reference_loader import build_reference_detector
 
     cfg = _load_cfg()
+    # the reference init draws from torch's GLOBAL rng: without a seed the
+    # weights depend on which tests ran before, and near-tied proposals can
+    # flip the NMS'd roi set between ours and the reference (observed as an
+    # order-dependent one-roi mismatch in the full suite)
+    torch.manual_seed(0)
     ref = build_reference_detector('pv_rcnn', 'PVRCNN', _load_cfg().MODEL)
     ref = ref.eval()
     _patch_stack_ops()

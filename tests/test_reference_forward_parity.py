@@ -102,6 +102,7 @@ def test_iassd_forward_parity_vs_reference():
     from spsnet_tpu.utils.synthetic import synthetic_scan_batch
 
     cfg = _parity_cfg()
+    torch.manual_seed(0)   # decouple ref init from prior tests' rng use
     ref_model = build_reference_iassd(cfg.MODEL)
     _patch_reference_cuda_ops()
     ref_model.eval()
@@ -163,6 +164,7 @@ def test_iassd_forward_parity_trained_bn_stats():
     from spsnet_tpu.utils.synthetic import synthetic_scan_batch
 
     cfg = _parity_cfg()
+    torch.manual_seed(0)   # decouple ref init from prior tests' rng use
     ref_model = build_reference_iassd(cfg.MODEL)
     _patch_reference_cuda_ops()
 
@@ -226,6 +228,7 @@ def test_pointpillar_forward_parity_vs_reference():
     ds.grid_size = np.array([64, 64, 1])
     ds.voxel_size = voxel
     ds.point_cloud_range = pcr
+    torch.manual_seed(0)   # decouple ref init from prior tests' rng use
     ref = build_reference_detector('pointpillar', 'PointPillar', cfg.MODEL,
                                    dataset=ds).eval()
     with torch.no_grad():                   # non-identity BN everywhere

@@ -252,3 +252,24 @@ def test_nuscenes_default_attribute_rule():
     assert default_attribute('car', slow) == 'vehicle.parked'     # prior
     assert default_attribute('pedestrian', fast) == 'pedestrian.moving'
     assert default_attribute('truck', _box(0, 0)) == 'vehicle.parked'
+
+
+def test_nuscenes_attributeless_gt_is_nan_not_error():
+    """devkit attr_acc: a matched gt with NO attribute ('' — what our
+    info-gen writes for attribute-less nuScenes annotations) yields NaN and
+    is SKIPPED by cummean, never counted as an attribute error (code-review
+    r3: it was scored as 1.0, deflating NDS)."""
+    from spsnet_tpu.eval.nuscenes_eval import nuscenes_evaluation
+
+    boxes = np.array([_box(0, 0), _box(20, 0)])
+    gt = [{'name': np.array(['car', 'car']),
+           'boxes_lidar': boxes.astype(np.float64),
+           'attr_name': np.array(['', 'vehicle.parked'])}]
+    dt = [{'name': np.array(['car', 'car']),
+           'boxes_lidar': boxes.astype(np.float64),
+           'score': np.array([0.9, 0.8]),
+           'attr_name': np.array(['vehicle.parked', 'vehicle.parked'])}]
+    s, r = nuscenes_evaluation(gt, dt, ['car'])
+    # both dets are perfect TPs; the '' gt must not contribute AAE error
+    assert r['car/AAE'] == pytest.approx(0.0, abs=1e-9)
+    assert r['mAAE'] == pytest.approx(0.0, abs=1e-9)

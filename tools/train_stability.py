@@ -101,6 +101,7 @@ def main():
     logger.info('training stability model: %d epochs x %d iters', epochs,
                 len(loader))
     import time
+    batch = example            # --save_vis frame_id fallback if 0 iterations
     for epoch in range(epochs):
         sampler.set_epoch(epoch)
         t0 = time.time()
@@ -118,9 +119,11 @@ def main():
         ret = model.apply({'params': state.params,
                            'batch_stats': state.batch_stats},
                           db, train=False)
+        # db is the LAST training batch — label the artifact with ITS
+        # frame_id, not the warmup example's (they differ past one batch)
         out = save_vis_points(
             db, ret, output_dir / 'vis',
-            frame_id=str(example.get('frame_id', ['frame0'])[0]),
+            frame_id=str(batch.get('frame_id', ['frame0'])[0]),
             gt_boxes=db.get('gt_boxes'))
         logger.info('visualization artifacts written to %s', out)
 
