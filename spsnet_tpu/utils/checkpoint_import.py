@@ -5,7 +5,8 @@ into this framework.
 
 Families handled:
 
-- the IA-SSD / PAGNet / SPSNet point family (below);
+- the IA-SSD / PAGNet / SPSNet point family (below), incl. the PAGNet
+  surface DGCNN (``SF_extract.transforms/convs`` -> ``sf_extract/...``);
 - the voxel/pillar/anchor family — ``PillarVFE`` pfn layers,
   ``VoxelBackBone8x`` spconv stacks (all three on-disk spconv weight
   layouts: 1.x ``(kz,ky,kx,Cin,Cout)``, 2.x implicit-gemm
@@ -237,6 +238,32 @@ def convert_reference_state_dict(state_dict, allow_partial=False,
                         put(params, base + ['kernel'], _dense_kernel(t))
                     else:
                         put(params, base + ['bias'], t)
+                else:
+                    raise ImportError3D(name)
+            elif parts[0] == 'backbone_3d' and parts[1] == 'SF_extract':
+                # PAGNet/SPSNet surface DGCNN (surface_feature.py):
+                # transforms.{i}.linear + convs.{i}.{layer_first,layers.{j},
+                # layer_last}.linear -> sf_extract/{transform,conv}_{i}/...
+                leaf = parts[-1]
+                if parts[2] == 'transforms':
+                    base = ['backbone_3d', 'sf_extract',
+                            f'transform_{int(parts[3])}', 'Dense_0']
+                elif parts[2] == 'convs':
+                    i = int(parts[3])
+                    if parts[4] == 'layers':
+                        sub = f'layer_{int(parts[5]) + 1}'
+                    elif parts[4] in ('layer_first', 'layer_last'):
+                        sub = parts[4]
+                    else:
+                        raise ImportError3D(name)
+                    base = ['backbone_3d', 'sf_extract', f'conv_{i}', sub,
+                            'Dense_0']
+                else:
+                    raise ImportError3D(name)
+                if leaf == 'weight':
+                    put(params, base + ['kernel'], _dense_kernel(t))
+                elif leaf == 'bias':
+                    put(params, base + ['bias'], t)
                 else:
                     raise ImportError3D(name)
             elif parts[0] == 'backbone_3d' and parts[1] == 'FP_modules':

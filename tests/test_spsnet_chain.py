@@ -207,9 +207,14 @@ def test_spsnet_train_to_overfit(tmp_path):
     model_cfg.POINT_HEAD.CLS_FC = [64]
     model_cfg.POINT_HEAD.REG_FC = [64]
     model_cfg.POST_PROCESSING.SCORE_THRESH = 0.01
+    # the stability SA is full-cloud (npoint == N, like the reference's
+    # 16384 -> 16384 Surface_PW_feature): stds must cover every point
+    stab = EDict(STAB_MODEL)
+    stab.SA_CONFIG = EDict(dict(STAB_MODEL['SA_CONFIG'],
+                                NPOINT_LIST=[[2000]]))
     model_cfg.STABILITY_HOOK = EDict({
         'CKPT': None, 'DELETE_NUMBER': 64,
-        'DELETE_METHOD': 'stability', 'MODEL': EDict(STAB_MODEL)})
+        'DELETE_METHOD': 'stability', 'MODEL': stab})
     cfg = EDict({'CLASS_NAMES': class_names, 'MODEL': model_cfg,
                  'OPTIMIZATION': opt})
     model = build_detector(cfg.MODEL, num_class=3)
