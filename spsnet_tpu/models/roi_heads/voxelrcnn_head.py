@@ -5,7 +5,22 @@ Rebuild of ``roi_heads/voxelrcnn_head.py``: grid points per RoI query
 neighboring voxels of the selected sparse-conv levels; the reference's
 voxel-query (Manhattan neighbor hash lookup, ``pointnet2_stack/voxel_query``)
 is realized TPU-natively as a radius query over voxel-center clouds with
-far-sentinel padding — same neighborhoods, dense math.
+far-sentinel padding — same neighborhoods, dense math. The shipped
+QUERY_RANGES window (±4 voxels) strictly contains the radius ball at every
+level (r = 4 voxel-pitches in the shipped configs), so the in-radius
+candidate SET is identical; slot truncation order can differ only when a
+ball overflows NSAMPLE (same class of arbitrariness as the CUDA scan
+order).
+
+The pooling parametrization follows the reference's
+``NeighborVoxelSAModuleMSG`` (``voxel_pool_modules.py:8-130``) exactly so
+trained checkpoints import weight-for-weight: per scale, mlp_in
+(Dense+BN on voxel features BEFORE grouping) and mlp_pos (Dense+BN on
+center-relative xyz) are ADD-fused, relu'd, max-pooled over the slots,
+then mlp_out (Dense+BN+ReLU); empty balls zero both inputs before the add
+(the position branch still contributes BN(conv(0)) — replicated as-is).
+Composed forward parity vs the reference's own torch modules:
+``tests/test_voxelrcnn_forward_parity.py``.
 """
 from __future__ import annotations
 
@@ -27,6 +42,19 @@ from .roi_utils import proposal_target_layer
 _FAR = 1e6
 
 
+class _DenseBN(nn.Module):
+    """Dense (no bias) + BatchNorm, NO activation — the reference's
+    ``Conv1d/Conv2d(1x1, bias=False) + BatchNorm`` blocks inside
+    ``NeighborVoxelSAModuleMSG`` (mlp_in / mlp_pos / mlp_out bodies)."""
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Dense(self.out_channels, use_bias=False)(x)
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5)(x)
+
+
 class VoxelRCNNHead(nn.Module):
     model_cfg: Any
     num_class: int = 1
@@ -42,8 +70,20 @@ class VoxelRCNNHead(nn.Module):
                           for k in pool.FEATURES_SOURCE}
         layers = {}
         for name, pc in self.pool_cfgs.items():
-            layers[name] = [SharedMLP(list(m), name=f'{name}_mlp_{i}')
-                            for i, m in enumerate(pc.MLPS)]
+            # reference mlp spec (after C_in prepend) is [C_in, mid, out]:
+            # mlp_in C_in->mid, mlp_pos 3->mid, mlp_out mid->out. Shipped
+            # configs use 2-element MLPS ([mid, out]); longer specs chain
+            # the extra channels into mlp_out like the reference would not
+            # express — restricted to the reference's 3-stage form.
+            scales = []
+            for i, m in enumerate(pc.MLPS):
+                mid, out = int(m[0]), int(m[-1])
+                scales.append((
+                    _DenseBN(mid, name=f'{name}_in_{i}'),
+                    _DenseBN(mid, name=f'{name}_pos_{i}'),
+                    _DenseBN(out, name=f'{name}_out_{i}'),
+                ))
+            layers[name] = scales
         self.pool_layers_by_src = layers
         self.shared_fc = SharedMLP(list(self.model_cfg.SHARED_FC),
                                    name='shared_fc')
@@ -77,8 +117,8 @@ class VoxelRCNNHead(nn.Module):
         grid = roi_grid_points(rois[..., :7], self.grid_size)
         grid_flat = grid.reshape(B, R * G3, 3)
 
-        level_meta = {'x_conv2': ('down2', 2), 'x_conv3': ('down3', 4),
-                      'x_conv4': ('down4', 8)}
+        level_meta = {'x_conv1': ('voxel', 1), 'x_conv2': ('down2', 2),
+                      'x_conv3': ('down3', 4), 'x_conv4': ('down4', 8)}
         pooled = []
         for name, pc in self.pool_cfgs.items():
             key, ds = level_meta[name]
@@ -89,10 +129,19 @@ class VoxelRCNNHead(nn.Module):
             centers = jnp.where(valid[..., None], centers, _FAR)
             scale = []
             for i, (r, ns) in enumerate(zip(pc.POOL_RADIUS, pc.NSAMPLE)):
+                mlp_in, mlp_pos, mlp_out = self.pool_layers_by_src[name][i]
+                # mlp_in runs on the voxel features BEFORE grouping
+                # (voxel_pool_modules.py:93-99)
+                f_in = mlp_in(feats, train=train)
                 grouped, _ = ops.query_and_group(
-                    float(r), int(ns), centers, grid_flat, feats)
-                h = self.pool_layers_by_src[name][i](grouped, train=train)
-                scale.append(jnp.max(h, axis=2))
+                    float(r), int(ns), centers, grid_flat, f_in)
+                # empty balls zero BOTH branches' inputs; the position
+                # branch still adds BN(conv(0)) (reference :101-113)
+                grouped = ops.zero_empty_balls(grouped, float(r))
+                pos = mlp_pos(grouped[..., :3], train=train)
+                h = nn.relu(grouped[..., 3:] + pos)
+                h = jnp.max(h, axis=2)                       # over slots
+                scale.append(nn.relu(mlp_out(h, train=train)))
             pooled.append(jnp.concatenate(scale, axis=-1))
         pooled = jnp.concatenate(pooled, axis=-1)            # (B, R*G3, C)
         return pooled.reshape(B, R, G3 * pooled.shape[-1])

@@ -17,6 +17,7 @@ from .grouping import (
     gather_points,
     group_points,
     query_and_group,
+    zero_empty_balls,
 )
 from .interpolate import three_nn, three_interpolate
 from .boxes import (
@@ -31,7 +32,7 @@ from .boxes import (
 __all__ = [
     'farthest_point_sample', 'farthest_point_sample_with_dist', 'calc_square_dist',
     'ball_query', 'ball_query_dilated', 'gather_points', 'group_points',
-    'query_and_group', 'three_nn', 'three_interpolate',
+    'query_and_group', 'zero_empty_balls', 'three_nn', 'three_interpolate',
     'points_in_boxes', 'boxes_overlap_bev', 'boxes_iou_bev', 'boxes_iou3d',
     'nms_bev', 'nms_normal',
 ]

@@ -166,7 +166,9 @@ def _seq_index(layers_prefix, idx, is_final):
 
 def convert_reference_state_dict(state_dict, allow_partial=False,
                                  pfe_sa_sources=('x_conv1', 'x_conv2',
-                                                 'x_conv3', 'x_conv4')):
+                                                 'x_conv3', 'x_conv4'),
+                                 roi_pool_sources=('x_conv2', 'x_conv3',
+                                                   'x_conv4')):
     """torch state_dict (name -> tensor/ndarray) -> (params, batch_stats)
     nested dicts mergeable into a flax variables tree.
 
@@ -177,6 +179,10 @@ def convert_reference_state_dict(state_dict, allow_partial=False,
     by source (``pfe/{src}_mlp_{s}``); the order is not recoverable from the
     state dict alone. The default matches the KITTI pv_rcnn.yaml (all four
     conv levels); Waymo PV-RCNN checkpoints need ('x_conv3', 'x_conv4').
+
+    ``roi_pool_sources``: same story for VoxelRCNN's anonymous
+    ``roi_head.roi_grid_pool_layers`` ModuleList (one entry per
+    ``ROI_GRID_POOL.FEATURES_SOURCE``); default matches voxel_rcnn_car.yaml.
     """
     params = {}
     stats = {}
@@ -436,6 +442,35 @@ def convert_reference_state_dict(state_dict, allow_partial=False,
                     kind, k = seq_layout['.'.join(parts[:2]), idx]
                     _put_head_layer(put, params, stats,
                                     ['roi_head', parts[1]], kind, k, leaf, t)
+                elif parts[1] == 'roi_grid_pool_layers':
+                    # VoxelRCNN NeighborVoxelSAModuleMSG: per FEATURES_SOURCE
+                    # k, per scale i, three [conv, BN] pairs
+                    # (voxel_pool_modules.py:35-53) -> {src}_{in,pos,out}_{i}
+                    k, which = int(parts[2]), parts[3]
+                    i, idx, leaf = int(parts[4]), int(parts[5]), parts[6]
+                    if k >= len(roi_pool_sources):
+                        raise ImportError3D(
+                            f'{name}: pool layer {k} beyond '
+                            f'roi_pool_sources {roi_pool_sources}')
+                    sub = {'mlps_in': 'in', 'mlps_pos': 'pos',
+                           'mlps_out': 'out'}[which]
+                    base = ['roi_head', f'{roi_pool_sources[k]}_{sub}_{i}']
+                    _put_layer(put, params, stats, base,
+                               'dense' if idx == 0 else 'bn', 0, leaf, t)
+                elif parts[1] in ('cls_fc_layers', 'reg_fc_layers'):
+                    # VoxelRCNN splits hidden FC stack and pred layer; both
+                    # land in ONE MLPHead (cls_layers/reg_layers) here
+                    idx, leaf = int(parts[2]), parts[3]
+                    kind, k = seq_layout['.'.join(parts[:2]), idx]
+                    _put_head_layer(put, params, stats,
+                                    ['roi_head', parts[1].replace('_fc', '')],
+                                    kind, k, leaf, t)
+                elif parts[1] in ('cls_pred_layer', 'reg_pred_layer'):
+                    leaf = parts[2]
+                    base = ['roi_head', parts[1].replace('_pred_layer',
+                                                         '_layers')]
+                    _put_head_layer(put, params, stats, base, 'final', 0,
+                                    leaf, t)
                 else:
                     raise ImportError3D(name)
             elif parts[0] == 'dense_head' and parts[1] in (
