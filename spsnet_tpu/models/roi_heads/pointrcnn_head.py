@@ -100,6 +100,9 @@ class PointRCNNHead(nn.Module):
     def __call__(self, batch, train: bool = True):
         nms_cfg = self.model_cfg.NMS_CONFIG.TRAIN if train \
             else self.model_cfg.NMS_CONFIG.TEST
+        # reference rule (roi_head_template.py:102): labels meaningful iff
+        # the RPN emitted >1 class channel
+        has_class_labels = batch['batch_cls_preds'].shape[-1] > 1
         rois, roi_scores, roi_labels, roi_valid = self.proposal_layer(
             batch, nms_cfg)
 
@@ -150,6 +153,7 @@ class PointRCNNHead(nn.Module):
             batch['batch_box_preds'] = decoded
             batch['batch_cls_preds'] = rcnn_cls
             batch['batch_roi_labels'] = roi_labels
+            batch['has_class_labels'] = has_class_labels
             batch['cls_preds_normalized'] = False
         return batch
 

@@ -142,6 +142,10 @@ class PVRCNNHead(nn.Module):
         return {'rois': rois, 'roi_labels': roi_labels, 'targets': targets}
 
     def __call__(self, batch, train: bool = True, precomputed=None):
+        # reference rule (roi_head_template.py:102): labels meaningful iff
+        # the RPN emitted >1 class channel (batch_cls_preds is still the
+        # RPN's here — this head overwrites it only on the way out)
+        has_class_labels = batch['batch_cls_preds'].shape[-1] > 1
         if precomputed is not None:
             rois = precomputed['rois']
             roi_labels = precomputed['roi_labels']
@@ -177,5 +181,6 @@ class PVRCNNHead(nn.Module):
             batch['batch_box_preds'] = decoded
             batch['batch_cls_preds'] = rcnn_cls
             batch['batch_roi_labels'] = roi_labels
+            batch['has_class_labels'] = has_class_labels
             batch['cls_preds_normalized'] = False
         return batch

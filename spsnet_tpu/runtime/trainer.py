@@ -111,13 +111,13 @@ def make_train_step(model, tx, preprocess=None, loss_fn=None):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_eval_step(model, post_cfg, preprocess=None):
+def make_eval_step(model, post_cfg, preprocess=None, class_names=None):
     def eval_step(params, batch_stats, batch):
         if preprocess is not None:
             batch = preprocess(batch, jax.random.PRNGKey(0))
         out = model.apply({'params': params, 'batch_stats': batch_stats},
                           batch, train=False)
-        dets = post_processing(out, post_cfg)
+        dets = post_processing(out, post_cfg, class_names=class_names)
         return dets, out['batch_box_preds']
 
     return jax.jit(eval_step)
@@ -185,7 +185,9 @@ class Trainer:
         self.train_step = make_train_step(model, self.tx,
                                           preprocess=preprocess)
         self.eval_step = make_eval_step(model, cfg.MODEL.POST_PROCESSING,
-                                        preprocess=preprocess)
+                                        preprocess=preprocess,
+                                        class_names=list(
+                                            cfg.get('CLASS_NAMES', [])))
 
     def init_state(self, example_batch, seed=42):
         db = device_batch(example_batch)

@@ -437,7 +437,9 @@ def convert_reference_state_dict(state_dict, allow_partial=False,
                     kind, k = seq_layout['.'.join(parts[:2]), idx]
                     _put_layer(put, params, stats, ['roi_head', 'shared_fc'],
                                kind, k, leaf, t)
-                elif parts[1] in ('cls_layers', 'reg_layers'):
+                elif parts[1] in ('cls_layers', 'reg_layers', 'iou_layers'):
+                    # iou_layers: SECONDHead's single-IoU make_fc_layers
+                    # stack (second_head.py:29-31)
                     idx, leaf = int(parts[2]), parts[3]
                     kind, k = seq_layout['.'.join(parts[:2]), idx]
                     _put_head_layer(put, params, stats,

@@ -140,7 +140,8 @@ def main():
     @jax.jit
     def infer(points):
         out = model.apply(variables, {'points': points}, train=False)
-        dets = post_processing(out, cfg.MODEL.POST_PROCESSING)
+        dets = post_processing(out, cfg.MODEL.POST_PROCESSING,
+                               class_names=class_names)
         if args.save_sample_list and 'encoder_xyz' in out:
             dets = dict(dets)
             dets['encoder_xyz'] = out['encoder_xyz']
