@@ -103,17 +103,49 @@ class DatasetTemplate:
         return out
 
 
-def collate_batch(batch_list, max_gt=DEFAULT_MAX_GT):
+def collate_batch(batch_list, max_gt=DEFAULT_MAX_GT, max_points=None):
     """Stack equal-shape frames into fixed-shape arrays (jit-ready).
 
     points -> (B, N, C); gt_boxes -> (B, max_gt, 8) zero-padded;
     per-point labels -> (B, N); scalars/strings -> lists.
-    """
+
+    Ragged ``points`` (voxel-family configs have no fixed-N ``sample_points``
+    stage — the reference concatenates with a batch column instead,
+    ``dataset.py:183-190``) are padded to ``max_points`` (or the batch max,
+    rounded up to a multiple of 1024 for jit-shape stability) by CYCLING the
+    frame's own points: duplicates are invisible to voxelization (done
+    per-frame, pre-collate) and to FPS (a duplicate's min-distance is 0, so
+    it is never re-picked), unlike zero-pads which would inject phantom
+    points at the origin. A ``points_valid`` (B, N) mask marks real rows for
+    consumers that count points (VFE padded-slot floor, num_pts IoU
+    rescoring)."""
     data = defaultdict(list)
     for cur in batch_list:
         for key, val in cur.items():
             data[key].append(val)
     batch = {}
+
+    pts = data.get('points')
+    ragged = pts is not None and (
+        max_points is not None or len({len(v) for v in pts}) > 1)
+    if ragged:
+        cap = int(max_points) if max_points is not None else \
+            -(-max(len(v) for v in pts) // 1024) * 1024
+        padded, valid = [], []
+        for i, v in enumerate(pts):
+            n = min(len(v), cap)
+            idx = np.arange(cap) % max(n, 1)
+            take = v[idx[:cap]] if n else \
+                np.zeros((cap, v.shape[1]), dtype=v.dtype)
+            padded.append(take)
+            valid.append(np.arange(cap) < n)
+            for key in ('sem_labels', 'fake_labels'):
+                if data.get(key):
+                    data[key][i] = data[key][i][idx[:cap]] if n else \
+                        np.zeros(cap, data[key][i].dtype)
+        data['points'] = padded
+        data['points_valid'] = valid
+
     for key, vals in data.items():
         if key == 'gt_boxes':
             width = max((v.shape[1] for v in vals if v.size), default=8)

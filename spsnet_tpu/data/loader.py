@@ -16,7 +16,7 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
-from .dataset import collate_batch
+from .dataset import DEFAULT_MAX_GT, collate_batch
 
 
 class ShardedSampler:
@@ -63,9 +63,17 @@ class DataLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         max_gt = getattr(dataset, 'max_gt', None)
-        self.collate_fn = collate_fn or (
-            (lambda items: collate_batch(items, max_gt=max_gt))
-            if max_gt else collate_batch)
+        # fixed-shape cap for ragged voxel-family point clouds (jit shape
+        # stability across batches); see collate_batch's padding contract
+        max_points = None
+        ds_cfg = getattr(dataset, 'dataset_cfg', None)
+        if ds_cfg is not None:
+            max_points = ds_cfg.get('MAX_POINTS_PER_FRAME', None)
+        if collate_fn is None:
+            def collate_fn(items, _mg=max_gt, _mp=max_points):
+                return collate_batch(items, max_gt=_mg or DEFAULT_MAX_GT,
+                                     max_points=_mp)
+        self.collate_fn = collate_fn
 
     def __len__(self):
         n = len(self.sampler.indices())

@@ -164,3 +164,30 @@ def test_host_pipeline_never_dispatches_to_device(monkeypatch):
     out = proc.forward(frame)
     batch = collate_batch([out])
     assert batch['points'].shape[1] == 512
+
+
+def test_collate_batch_ragged_points():
+    """Voxel-family frames (no sample_points stage) have ragged clouds:
+    collate pads by CYCLING the frame's own points and emits points_valid."""
+    rng = np.random.default_rng(7)
+    frames = []
+    for n in (100, 250, 130):
+        f = {'points': rng.normal(size=(n, 4)).astype(np.float32),
+             'fake_labels': np.arange(n, dtype=np.int32)}
+        frames.append(f)
+    batch = collate_batch(frames, max_gt=10)
+    N = batch['points'].shape[1]
+    assert N == 1024 and N % 1024 == 0           # rounded-up batch max
+    assert batch['points_valid'].shape == (3, N)
+    assert batch['points_valid'].sum(axis=1).tolist() == [100, 250, 130]
+    # pad rows are cycled copies, so labels cycle identically
+    np.testing.assert_array_equal(batch['points'][0, 100:200],
+                                  batch['points'][0, :100])
+    np.testing.assert_array_equal(batch['fake_labels'][0],
+                                  np.arange(N) % 100)
+    # explicit cap: truncation keeps the first max_points rows
+    batch2 = collate_batch(frames, max_gt=10, max_points=128)
+    assert batch2['points'].shape[1] == 128
+    np.testing.assert_array_equal(batch2['points'][1],
+                                  frames[1]['points'][:128])
+    assert bool(batch2['points_valid'][1].all())

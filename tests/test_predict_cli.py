@@ -99,3 +99,38 @@ def test_predict_cli_help():
                        cwd=REPO, capture_output=True, text=True, timeout=120)
     assert r.returncode == 0
     assert '--score_thresh' in r.stdout
+
+
+@pytest.mark.slow
+def test_predict_cli_voxel_family(tmp_path):
+    """Voxel-family serving: the CLI runs the host pipeline (voxelization +
+    sparse plan + ragged-point pad) and the IoU-rescoring post-processing
+    for SECOND-IoU — no fixed-N sample_points stage in the config."""
+    rng = np.random.default_rng(1)
+    data_dir = tmp_path / 'velodyne'
+    out_dir = tmp_path / 'preds'
+    data_dir.mkdir()
+    n_frames = 3   # odd vs batch 2: exercises the padded tail batch
+    for i in range(n_frames):
+        n = 2500 + 400 * i                      # ragged across frames
+        pts = np.zeros((n, 4), dtype=np.float32)
+        pts[:, 0] = rng.uniform(0, 70, n)
+        pts[:, 1] = rng.uniform(-40, 40, n)
+        pts[:, 2] = rng.uniform(-2, 1, n)
+        pts.tofile(data_dir / f'{i:06d}.bin')
+
+    env = dict(os.environ, SPSNET_PLATFORM='cpu')
+    r = subprocess.run(
+        [sys.executable, 'tools/predict.py', '--cfg_file',
+         'tools/cfgs/kitti_models/second_iou.yaml',
+         '--data_dir', str(data_dir), '--out_dir', str(out_dir),
+         '--batch_size', '2', '--num_points', '4096'],
+        cwd=REPO, capture_output=True, text=True, timeout=600, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    recs = [json.loads((out_dir / f'{i:06d}.json').read_text())
+            for i in range(n_frames)]
+    assert all(set(rec) >= {'boxes_lidar', 'scores', 'labels', 'names'}
+               for rec in recs)
+    for rec in recs:                             # labels are 1-based + named
+        for lab, name in zip(rec['labels'], rec['names']):
+            assert name == ['Car', 'Pedestrian', 'Cyclist'][lab - 1]

@@ -130,7 +130,53 @@ def main():
 
     B = args.batch_size
     rng = np.random.default_rng(args.seed)
-    dummy = {'points': jnp.zeros((B, num_points, 4), jnp.float32)}
+
+    # Voxel-family models (any config with a VFE stage) need the host
+    # preprocessing pipeline — voxelization + sparse-conv planning — not
+    # just a fixed-N point sample. Point clouds are padded to a static cap
+    # by cycling (collate_batch contract) so the jit shape is stable; the
+    # points array itself is shipped to the device only when the model
+    # reads it (PFE keypoints / num_pts IoU rescoring), since the tunnel
+    # transfer would otherwise dominate.
+    voxel_family = 'VFE' in cfg.MODEL
+    if voxel_family:
+        from spsnet_tpu.data.dataset import DatasetTemplate, collate_batch
+        pipeline = DatasetTemplate(dataset_cfg=cfg.DATA_CONFIG,
+                                   class_names=class_names, training=False)
+        needs_points = 'PFE' in cfg.MODEL or (
+            cfg.MODEL.POST_PROCESSING.NMS_CONFIG.get('SCORE_TYPE')
+            == 'num_pts_iou_cls')
+        max_points = int(cfg.DATA_CONFIG.get('MAX_POINTS_PER_FRAME',
+                                             args.num_points or 65536))
+
+        def preprocess(path):
+            if Path(path).suffix == '.bin':
+                pts = np.fromfile(str(path), np.float32).reshape(-1, 4)
+            else:
+                pts = np.load(str(path)).astype(np.float32)
+            return pipeline.prepare_data({'points': pts})
+
+        def make_batch(chunk):
+            frames = [preprocess(p) for p in chunk]
+            frames += [frames[-1]] * (B - len(chunk))   # pad the tail batch
+            cb = collate_batch(frames, max_points=max_points)
+            drop = () if needs_points else ('points', 'points_valid')
+            return {k: jnp.asarray(v) for k, v in cb.items()
+                    if isinstance(v, np.ndarray) and v.dtype != object
+                    and k not in drop}
+
+        dummy = jax.tree_util.tree_map(
+            lambda x: jnp.zeros_like(x), make_batch(files[:1]))
+    else:
+        def make_batch(chunk):
+            pts = np.stack([load_points(p, num_points, rng) for p in chunk])
+            if len(chunk) < B:                  # pad the tail batch
+                pad = np.repeat(pts[-1:], B - len(chunk), axis=0)
+                pts = np.concatenate([pts, pad])
+            return {'points': jnp.asarray(pts)}
+
+        dummy = {'points': jnp.zeros((B, num_points, 4), jnp.float32)}
+
     variables = model.init(jax.random.PRNGKey(0), dummy, train=False)
     if args.ckpt:
         mgr = CheckpointManager(Path(args.ckpt))
@@ -138,21 +184,14 @@ def main():
         variables = {'params': state.params, 'batch_stats': state.batch_stats}
 
     @jax.jit
-    def infer(points):
-        out = model.apply(variables, {'points': points}, train=False)
+    def infer(batch):
+        out = model.apply(variables, batch, train=False)
         dets = post_processing(out, cfg.MODEL.POST_PROCESSING,
                                class_names=class_names)
         if args.save_sample_list and 'encoder_xyz' in out:
             dets = dict(dets)
             dets['encoder_xyz'] = out['encoder_xyz']
         return dets
-
-    def make_batch(chunk):
-        pts = np.stack([load_points(p, num_points, rng) for p in chunk])
-        if len(chunk) < B:                      # pad the tail batch
-            pad = np.repeat(pts[-1:], B - len(chunk), axis=0)
-            pts = np.concatenate([pts, pad])
-        return jnp.asarray(pts)
 
     chunks = [files[i:i + B] for i in range(0, len(files), B)]
     t0 = time.time()
