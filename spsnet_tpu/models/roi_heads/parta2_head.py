@@ -3,8 +3,12 @@
 Rebuild of ``roi_heads/partA2_head.py`` + ``roiaware_pool3d``'s RoI-aware
 pooling (``roiaware_pool3d_kernel.cu:39-261``): in-roi voxel centers are
 binned into a POOL_SIZE^3 grid per roi (max-pool rpn features, avg-pool part
-features), then refined with dense 3D convs (the pooled grid is small and
-dense — no sparsity needed on TPU) and FC heads.
+features incl. the SEG_MASK_SCORE_THRESH part zeroing), then refined by the
+reference's conv_part/conv_rpn submanifold stacks — realized as masked DENSE
+3x3x3 convs over the per-roi grid (exact twin: inactive inputs are zero and
+outputs are re-masked to the active set; see ``SubMConvBlock``) — and FC
+heads over the channel-major flattened grid. Composed forward parity:
+``tests/test_parta2_forward_parity.py``.
 """
 from __future__ import annotations
 
@@ -68,23 +72,58 @@ def roiaware_pool(points, features, rois, pool_size, pool_method='max'):
     return out
 
 
-class _PartConv3D(nn.Module):
-    """Dense 3D conv stack over the pooled (B*R, G, G, G, C) grid."""
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over the ACTIVE sites of a dense grid — the dense twin of
+    spconv's ``BatchNorm1d`` on a SparseConvTensor's features, which only
+    ever sees active rows. eps/momentum match the reference's
+    ``post_act_block`` (eps 1e-3, torch momentum 0.01 -> flax decay 0.99);
+    the running variance uses the unbiased estimator like torch."""
+    use_running_average: bool
+    epsilon: float = 1e-3
+    momentum: float = 0.99
 
     @nn.compact
-    def __call__(self, grid, train: bool = True):
-        x = nn.Conv(64, (3, 3, 3), padding='SAME', use_bias=False,
-                    name='part_conv1')(grid)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3, name='part_bn1')(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
-        x = nn.Conv(64, (3, 3, 3), padding='SAME', use_bias=False,
-                    name='part_conv2')(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3, name='part_bn2')(x)
-        x = nn.relu(x)
-        return x
+    def __call__(self, x, mask):
+        C = x.shape[-1]
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros(C, jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones(C, jnp.float32))
+        scale = self.param('scale', nn.initializers.ones, (C,))
+        bias = self.param('bias', nn.initializers.zeros, (C,))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            m = mask.astype(x.dtype)
+            axes = tuple(range(x.ndim - 1))
+            n = jnp.clip(jnp.sum(m), 2.0, None)
+            mean = jnp.sum(x * m, axis=axes) / n
+            var = jnp.sum(jnp.square(x - mean) * m, axis=axes) / n
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + \
+                    (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + \
+                    (1 - self.momentum) * var * n / jnp.clip(n - 1, 1.0, None)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+class SubMConvBlock(nn.Module):
+    """Dense twin of the reference's submanifold ``post_act_block``
+    (``partA2_head.py:82-89``): a 3x3x3 cross-correlation over the
+    zero-padded dense RoI grid equals SubMConv3d's active-neighbor gather
+    (inactive inputs are zero), and re-masking the output to the active set
+    reproduces "outputs only at input-active sites". The kernel layout
+    (3, 3, 3, Cin, Cout) is spconv 1.x's on-disk layout — weights import
+    verbatim."""
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool = True):
+        x = nn.Conv(self.out_ch, (3, 3, 3), padding='SAME', use_bias=False,
+                    name='conv')(x)
+        x = MaskedBatchNorm(use_running_average=not train, name='bn')(x, mask)
+        return nn.relu(x) * mask
 
 
 class PartA2FCHead(nn.Module):
@@ -104,7 +143,13 @@ class PartA2FCHead(nn.Module):
         self.reg_layers = MLPHead(list(self.model_cfg.REG_FC),
                                   self.box_coder.code_size * self.num_class,
                                   name='reg_layers')
-        self.part_conv = _PartConv3D(name='part_conv3d')
+        # conv_part / conv_rpn: two submanifold blocks each, 4->64->c0 and
+        # C_in->64->c0 with c0 = NUM_FEATURES // 2 (``partA2_head.py:18-26``)
+        c0 = int(self.model_cfg.ROI_AWARE_POOL.NUM_FEATURES) // 2
+        self.conv_part_0 = SubMConvBlock(64, name='conv_part_0')
+        self.conv_part_1 = SubMConvBlock(c0, name='conv_part_1')
+        self.conv_rpn_0 = SubMConvBlock(64, name='conv_rpn_0')
+        self.conv_rpn_1 = SubMConvBlock(c0, name='conv_rpn_1')
 
     def proposal_layer(self, batch, nms_cfg):
         dets = class_agnostic_nms_batch(
@@ -140,18 +185,36 @@ class PartA2FCHead(nn.Module):
         valid = batch.get('voxel_valid', None)
         if valid is not None:
             centers = jnp.where(valid[..., None], centers, 1e6)
-        part_feats = batch['point_part_features']   # seg+part sigmoids
+        part_feats = batch['point_part_features']   # (part sigmoid, score)
+        # SEG_MASK_SCORE_THRESH zeroing + DISABLE_PART coord substitution
+        # (``partA2_head.py:121-126``): rows whose seg score is below the
+        # threshold contribute zero part offsets (score channel kept)
+        score = jax.lax.stop_gradient(part_feats[..., -1:])  # ref .detach()
+        part3 = centers if self.model_cfg.get('DISABLE_PART', False) \
+            else part_feats[..., 0:3]
+        thresh = float(self.model_cfg.get('SEG_MASK_SCORE_THRESH', 0.3))
+        part3 = jnp.where(score < thresh, 0.0, part3)
+        part_feats = jnp.concatenate([part3, score], axis=-1)
         rpn_feats = batch['point_features']         # UNet decoder features
         pooled_part = roiaware_pool(centers, part_feats, rois[..., :7],
                                     self.pool_size, 'avg')
         pooled_rpn = roiaware_pool(centers, rpn_feats, rois[..., :7],
                                    self.pool_size, 'max')
-        grid = jnp.concatenate([pooled_part, pooled_rpn], axis=-1)
-        B, R, G3, C = grid.shape
+        B, R, G3, _ = pooled_part.shape
         G = self.pool_size
-        grid = grid.reshape(B * R, G, G, G, C)
-        x = self.part_conv(grid, train=train)
-        x = x.reshape(B, R, -1)
+        # active set from the part-feature sum, like the reference's
+        # ``pooled_part_features.sum(dim=-1).nonzero()`` (``partA2_head.py:185``)
+        mask = (jnp.sum(pooled_part, axis=-1, keepdims=True) != 0.0) \
+            .astype(pooled_part.dtype).reshape(B * R, G, G, G, 1)
+        gp = pooled_part.reshape(B * R, G, G, G, -1)
+        gr = pooled_rpn.reshape(B * R, G, G, G, -1)
+        xp = self.conv_part_1(self.conv_part_0(gp, mask, train=train),
+                              mask, train=train)
+        xr = self.conv_rpn_1(self.conv_rpn_0(gr, mask, train=train),
+                             mask, train=train)
+        x = jnp.concatenate([xr, xp], axis=-1)      # rpn first (ref :203)
+        # dense().view flatten is channel-major: c*G^3 + x*G^2 + y*G + z
+        x = jnp.transpose(x, (0, 4, 1, 2, 3)).reshape(B, R, -1)
 
         shared = self.shared_fc(x, train=train)
         rcnn_cls = self.cls_layers(shared, train=train)

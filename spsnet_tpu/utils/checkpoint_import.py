@@ -83,11 +83,11 @@ def _convT2d_kernel(w):
     return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1))[::-1, ::-1])
 
 
-def _spconv_kernel(w, c_out):
-    """spconv 3-D conv weight (any of the three on-disk layouts) ->
-    host-planned Dense kernel (K*C_in, C_out). ``c_out`` comes from the
-    sibling BatchNorm and disambiguates the layout (the reference's own
-    1.x->2.x adaptation needs the model state for the same reason,
+def _spconv_kernel5(w, c_out):
+    """Normalize a spconv 3-D conv weight (any of the three on-disk
+    layouts) to (kz, ky, kx, C_in, C_out). ``c_out`` comes from the sibling
+    BatchNorm and disambiguates the layout (the reference's own 1.x->2.x
+    adaptation needs the model state for the same reason,
     ``detector3d_template.py:345-356``). Square-channel 1.x-vs-native
     ambiguity resolves to 1.x, the layout OpenPCDet-era checkpoints ship."""
     w = np.asarray(w, dtype=np.float32)
@@ -102,6 +102,12 @@ def _spconv_kernel(w, c_out):
     else:
         raise ImportError3D(
             f'no spconv layout of {w.shape} has C_out={c_out}')
+    return w
+
+
+def _spconv_kernel(w, c_out):
+    """spconv 3-D conv weight -> host-planned Dense kernel (K*C_in, C_out)."""
+    w = _spconv_kernel5(w, c_out)
     K = w.shape[0] * w.shape[1] * w.shape[2]
     return np.ascontiguousarray(w.reshape(K * w.shape[3], w.shape[4]))
 
@@ -437,6 +443,24 @@ def convert_reference_state_dict(state_dict, allow_partial=False,
                     kind, k = seq_layout['.'.join(parts[:2]), idx]
                     _put_layer(put, params, stats, ['roi_head', 'shared_fc'],
                                kind, k, leaf, t)
+                elif parts[1] in ('conv_part', 'conv_rpn'):
+                    # PartA2 submanifold stacks: SparseSequential of
+                    # (SubM, BN, ReLU) blocks -> SubMConvBlock conv/bn
+                    # (partA2_head.py:18-26); kernel stays 5-D (dense twin)
+                    i, j, leaf = int(parts[2]), int(parts[3]), parts[4]
+                    base = ['roi_head', f'{parts[1]}_{i}']
+                    if j == 0:
+                        bn_key = '.'.join(parts[:3]) + '.1.weight'
+                        c_out = int(np.asarray(getattr(
+                            state_dict[bn_key], 'numpy',
+                            lambda: state_dict[bn_key])()).shape[0])
+                        put(params, base + ['conv', 'kernel'],
+                            _spconv_kernel5(t, c_out))
+                    elif j == 1:
+                        _put_named_bn(put, params, stats, base + ['bn'],
+                                      leaf, t)
+                    else:
+                        raise ImportError3D(name)
                 elif parts[1] in ('cls_layers', 'reg_layers', 'iou_layers'):
                     # iou_layers: SECONDHead's single-IoU make_fc_layers
                     # stack (second_head.py:29-31)

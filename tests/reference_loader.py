@@ -215,14 +215,43 @@ def _install_param_spconv():
     """Replace the raising spconv stubs with torch Modules that register
     parameters in spconv's on-disk layout — enough to instantiate the
     reference's voxel detectors on CPU and read their REAL state-dict key
-    names/shapes (the forward path stays unavailable)."""
+    names/shapes. SUBMANIFOLD convs additionally EXECUTE (dense-conv twin
+    of the kernel: scatter active features to the dense grid, cross-
+    correlate, gather back at the active sites — spconv documents SubMConv3d
+    as Conv3d restricted to input-active sites), so small sparse stacks like
+    PartA2's conv_part/conv_rpn run for composed forward-parity tests.
+    Strided/inverse convs stay state-dict-only."""
     import torch
     import torch.nn as nn
 
     def _triple(k):
         return tuple(k) if isinstance(k, (tuple, list)) else (k,) * 3
 
+    class _FakeSparseConvTensor:
+        def __init__(self, features, indices, spatial_shape, batch_size,
+                     **kw):
+            self.features = features            # (N, C)
+            self.indices = indices              # (N, 1+ndim) [bs, ...]
+            self.spatial_shape = list(int(s) for s in spatial_shape)
+            self.batch_size = int(batch_size)
+
+        def replace_feature(self, f):
+            return _FakeSparseConvTensor(f, self.indices, self.spatial_shape,
+                                         self.batch_size)
+
+        def dense(self):
+            C = self.features.shape[1]
+            out = self.features.new_zeros(self.batch_size, C,
+                                          *self.spatial_shape)
+            idx = self.indices.long()
+            out[(idx[:, 0], slice(None)) + tuple(
+                idx[:, 1 + d] for d in range(len(self.spatial_shape)))] \
+                = self.features
+            return out
+
     class _FakeSparseConvBase(nn.Module):
+        _executable = False
+
         def __init__(self, in_channels, out_channels, kernel_size,
                      stride=1, padding=0, bias=False, indice_key=None,
                      **kwargs):
@@ -231,20 +260,50 @@ def _install_param_spconv():
             # spconv 1.x on-disk layout (kz, ky, kx, Cin, Cout)
             self.weight = nn.Parameter(
                 torch.randn(*ks, in_channels, out_channels) * 0.05)
+            self._padding = _triple(padding)
+            self._stride = _triple(stride)
             if bias:
                 self.bias = nn.Parameter(torch.zeros(out_channels))
 
-        def forward(self, *a, **k):
-            raise RuntimeError('fake spconv module: state-dict only')
+        def forward(self, inp):
+            if not (self._executable
+                    and isinstance(inp, _FakeSparseConvTensor)):
+                raise RuntimeError('fake spconv module: state-dict only')
+            w = self.weight.permute(4, 3, 0, 1, 2)       # (Cout, Cin, k...)
+            y = nn.functional.conv3d(inp.dense(), w, padding=self._padding,
+                                     bias=getattr(self, 'bias', None))
+            idx = inp.indices.long()
+            feats = y[(idx[:, 0], slice(None)) + tuple(
+                idx[:, 1 + d] for d in range(3))]
+            return inp.replace_feature(feats)
+
+    class _FakeSubMConv3d(_FakeSparseConvBase):
+        _executable = True
+
+        def __init__(self, in_channels, out_channels, kernel_size, **kw):
+            super().__init__(in_channels, out_channels, kernel_size, **kw)
+            # submanifold output sites == input sites: boundary neighbors
+            # are simply absent, i.e. SAME padding — spconv ignores the
+            # declared padding for SubMConv3d
+            self._padding = tuple((k - 1) // 2
+                                  for k in _triple(kernel_size))
 
     class _FakeSparseSequential(nn.Sequential):
-        pass
+        def forward(self, x):
+            for m in self:
+                if isinstance(x, _FakeSparseConvTensor) and not isinstance(
+                        m, (_FakeSparseConvBase, _FakeSparseSequential)):
+                    x = x.replace_feature(m(x.features))
+                else:
+                    x = m(x)
+            return x
 
-    attrs = dict(SubMConv3d=_FakeSparseConvBase,
+    attrs = dict(SubMConv3d=_FakeSubMConv3d,
                  SparseConv3d=_FakeSparseConvBase,
                  SparseInverseConv3d=_FakeSparseConvBase,
                  SparseSequential=_FakeSparseSequential,
-                 SparseModule=nn.Module)
+                 SparseModule=nn.Module,
+                 SparseConvTensor=_FakeSparseConvTensor)
     for mod_name in ('spconv', 'spconv.pytorch'):
         _stub(mod_name, **attrs)
 

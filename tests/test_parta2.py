@@ -103,7 +103,7 @@ def parta2_tiny_cfg(final_zyx):
         'ROI_HEAD': {
             'NAME': 'PartA2FCHead', 'CLASS_AGNOSTIC': True,
             'SHARED_FC': [32, 32], 'CLS_FC': [32], 'REG_FC': [32],
-            'ROI_AWARE_POOL': {'POOL_SIZE': 4},
+            'ROI_AWARE_POOL': {'POOL_SIZE': 4, 'NUM_FEATURES': 32},
             'NMS_CONFIG': {
                 'TRAIN': {'NMS_PRE_MAXSIZE': 64, 'NMS_POST_MAXSIZE': 16,
                           'NMS_THRESH': 0.8},
