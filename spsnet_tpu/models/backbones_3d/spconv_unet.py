@@ -1,10 +1,17 @@
 """UNetV2 sparse encoder-decoder (PartA2's backbone).
 
 Rebuild of ``backbones_3d/spconv_unet.py``: the VoxelBackBone8x encoder plus
-a decoder that walks back up the levels with host-planned inverse sparse
-convs (``sparse_plan.spconv_up_table``), concatenating encoder skips and
-fusing with submanifold convs. Output: per-voxel features at the input level
-(for the part head) + the bottleneck for BEV compression.
+the reference's UR-block decoder (``spconv_unet.py:135-144``) — per level: a
+SparseBasicBlock on the lateral encoder features, a submanifold merge conv
+over ``cat(bottom, lateral)``, the paired channel_reduction
+(``view(n, C_out, -1).sum(2)``) residual add, then an inverse sparse conv up
+to the next finer level (host-planned ``sparse_plan.spconv_up_table`` —
+gather + one MXU matmul; the up-table slot k enumerates the SAME forward
+kernel offsets the down conv used, so SparseInverseConv3d weights import
+verbatim). The final block's ``conv5`` stays at the input level. Output:
+per-voxel features at the input level (for the part head) + the bottleneck
+for BEV compression. Weight-for-weight importable from reference PartA2
+checkpoints (``utils/checkpoint_import.py``).
 """
 from __future__ import annotations
 
@@ -13,7 +20,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .spconv_backbone import SparseConv, sparse_gather
+from .spconv_backbone import SparseBasicBlock, SparseConv
 
 
 class UNetV2(nn.Module):
@@ -39,22 +46,36 @@ class UNetV2(nn.Module):
         x_conv4 = SparseConv(64, name='conv4_b')(x, t('subm4'), train=train)
         x_out = SparseConv(128, name='conv_out')(x_conv4, t('out'), train=train)
 
-        # ---- decoder: inverse conv + skip concat + subm fuse ----
-        def up(coarse_feats, skip_feats, up_table, subm_table_key, ch, name):
-            g = sparse_gather(coarse_feats, up_table)        # (B, Vf, K, C)
-            B, Vf, K, C = g.shape
-            u = nn.Dense(ch, use_bias=False,
-                         name=f'{name}_inv')(g.reshape(B, Vf, K * C))
-            u = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                             epsilon=1e-3, name=f'{name}_inv_bn')(u)
-            u = nn.relu(u)
-            merged = jnp.concatenate([u, skip_feats], axis=-1)
-            return SparseConv(ch, name=f'{name}_fuse')(
-                merged, batch[f'{subm_table_key}_table'], train=train)
+        # ---- decoder: the reference's UR blocks ----
+        def ur_block(lateral, bottom, subm_key, n, ch, up_table=None,
+                     ch_out=None):
+            """``UR_block_forward`` (``spconv_unet.py:135-144``):
+            trans = basic_block(lateral); m = subm(cat(bottom, trans));
+            reduced = channel_reduction(cat); x = m + reduced; then the
+            inverse conv up (or conv5 at the last level)."""
+            trans = SparseBasicBlock(ch, name=f'conv_up_t{n}')(
+                lateral, t(subm_key), train=train)
+            merged = jnp.concatenate([bottom, trans], axis=-1)
+            m = SparseConv(ch, name=f'conv_up_m{n}')(
+                merged, t(subm_key), train=train)
+            # channel_reduction: view(N, ch, C_in//ch).sum(-1) — paired
+            # adjacent channels, NOT a strided split (spconv_unet.py:146-160)
+            B, V, C_in = merged.shape
+            reduced = merged.reshape(B, V, ch, C_in // ch).sum(-1)
+            x = m + reduced
+            if up_table is None:                       # last level: conv5
+                return SparseConv(ch, name='conv5')(
+                    x, t(subm_key), train=train)
+            return SparseConv(ch_out, name=f'inv_conv{n}')(
+                x, up_table, train=train)
 
-        u4 = up(x_conv4, x_conv3, batch['down4_up_table'], 'subm3', 64, 'up4')
-        u3 = up(u4, x_conv2, batch['down3_up_table'], 'subm2', 32, 'up3')
-        u2 = up(u3, x_conv1, batch['down2_up_table'], 'subm1', 16, 'up2')
+        x_up4 = ur_block(x_conv4, x_conv4, 'subm4', 4, 64,
+                         batch['down4_up_table'], 64)
+        x_up3 = ur_block(x_conv3, x_up4, 'subm3', 3, 64,
+                         batch['down3_up_table'], 32)
+        x_up2 = ur_block(x_conv2, x_up3, 'subm2', 2, 32,
+                         batch['down2_up_table'], 16)
+        x_up1 = ur_block(x_conv1, x_up2, 'subm1', 1, 16)
 
         batch = dict(batch)
         batch['encoded_voxel_features'] = x_out
@@ -64,5 +85,5 @@ class UNetV2(nn.Module):
             'x_conv1': x_conv1, 'x_conv2': x_conv2,
             'x_conv3': x_conv3, 'x_conv4': x_conv4,
         }
-        batch['point_features'] = u2              # (B, V0, 16) decoder out
+        batch['point_features'] = x_up1           # (B, V0, 16) decoder out
         return batch

@@ -324,6 +324,47 @@ def convert_reference_state_dict(state_dict, allow_partial=False,
                 else:
                     raise ImportError3D(name)
             elif parts[0] == 'backbone_3d' and (
+                    re.fullmatch(r'conv_up_[tm][1-4]', parts[1])
+                    or re.fullmatch(r'inv_conv[2-4]', parts[1])
+                    or parts[1] == 'conv5'):
+                # UNetV2 UR-block decoder (spconv_unet.py:112-132):
+                # conv_up_t{n} is a SparseBasicBlock (conv1/bn1/conv2/bn2);
+                # conv_up_m{n} / inv_conv{n} are (conv, BN, ReLU) blocks;
+                # conv5 wraps one such block in an extra Sequential. The
+                # up-table slot order equals the forward kernel enumeration,
+                # so SparseInverseConv3d weights flatten with _spconv_kernel
+                # unchanged.
+                if parts[1].startswith('conv_up_t'):
+                    sub, leaf = parts[2], parts[3]
+                    base = ['backbone_3d', parts[1], 'conv' + sub[-1]]
+                    if sub.startswith('conv'):
+                        bn_key = '.'.join(parts[:2]) + f'.bn{sub[-1]}.weight'
+                        c_out = int(np.asarray(getattr(
+                            state_dict[bn_key], 'numpy',
+                            lambda: state_dict[bn_key])()).shape[0])
+                        put(params, base + ['Dense_0', 'kernel'],
+                            _spconv_kernel(t, c_out))
+                    else:
+                        _put_layer(put, params, stats, base, 'bn', 0, leaf, t)
+                else:
+                    if parts[1] == 'conv5':        # conv5.0.{idx}.{leaf}
+                        idx, leaf = int(parts[3]), parts[4]
+                    else:
+                        idx, leaf = int(parts[2]), parts[3]
+                    base = ['backbone_3d', parts[1]]
+                    if idx == 0:
+                        bn_key = '.'.join(name.split('.')[:-2] + ['1',
+                                                                  'weight'])
+                        c_out = int(np.asarray(getattr(
+                            state_dict[bn_key], 'numpy',
+                            lambda: state_dict[bn_key])()).shape[0])
+                        put(params, base + ['Dense_0', 'kernel'],
+                            _spconv_kernel(t, c_out))
+                    elif idx == 1:
+                        _put_layer(put, params, stats, base, 'bn', 0, leaf, t)
+                    else:
+                        raise ImportError3D(name)
+            elif parts[0] == 'backbone_3d' and (
                     parts[1] in ('conv_input', 'conv_out')
                     or re.fullmatch(r'conv[1-4]', parts[1])):
                 if parts[1] in ('conv_input', 'conv_out'):

@@ -134,12 +134,10 @@ def test_parta2_forward_parity():
                 m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
                 m.running_var.copy_(torch.rand_like(m.running_var) + 0.5)
 
-    # the UNet decoder (conv_up_t*) is not under test here (it cannot run
-    # on CPU); every non-backbone_3d key must map
+    # the whole PartA2 state dict maps — incl. the UNet UR-block decoder
     params, stats, unmapped = ci.convert_reference_state_dict(
-        ref.state_dict(), allow_partial=True)
-    assert all(k.startswith('backbone_3d.') for k in unmapped), \
-        [k for k in unmapped if not k.startswith('backbone_3d.')]
+        ref.state_dict())
+    assert not unmapped, unmapped
 
     centers, feats, bev = _synthetic_intermediates()
 
