@@ -68,5 +68,5 @@ def test_export_cli(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert out.exists() and out.stat().st_size > 1000
     meta = json.loads(out.with_suffix('.stablehlo.json').read_text())
-    assert meta['input']['points'] == [1, 512, 4]
+    assert meta['input']['points'] == [1, 512, 4, 'float32']
     assert 'cpu' in meta['platforms']

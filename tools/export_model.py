@@ -54,8 +54,16 @@ def main():
     cfg = EDict()
     cfg_from_yaml_file(args.cfg_file, cfg)
     model = build_detector(cfg.MODEL, num_class=len(cfg.CLASS_NAMES))
-    B, N = args.batch_size, args.num_points
-    dummy = {'points': jnp.zeros((B, N, 4), jnp.float32)}
+    B = args.batch_size
+    # voxel-family configs export a batch-dict program whose inputs are the
+    # host pipeline's fixed-shape arrays (voxels/coords/plan tables); the
+    # consumer runs spsnet_tpu.data.serving.ServingPipeline (numpy/C++, no
+    # device) to produce them. Point families keep the single (B, N, 4)
+    # points input.
+    from spsnet_tpu.data.serving import ServingPipeline
+    serving = ServingPipeline(cfg, B, num_points=args.num_points)
+    example = serving.example_batch()
+    dummy = {k: jnp.asarray(v) for k, v in example.items()}
     variables = model.init(jax.random.PRNGKey(0), dummy, train=False)
     if args.ckpt:
         mgr = CheckpointManager(Path(args.ckpt))
@@ -63,23 +71,26 @@ def main():
         variables = {'params': state.params, 'batch_stats': state.batch_stats}
 
     @jax.jit
-    def infer(points):
-        out = model.apply(variables, {'points': points}, train=False)
-        dets = post_processing(out, cfg.MODEL.POST_PROCESSING)
+    def infer(batch):
+        out = model.apply(variables, batch, train=False)
+        dets = post_processing(out, cfg.MODEL.POST_PROCESSING,
+                               class_names=list(cfg.CLASS_NAMES))
         return {k: dets[k] for k in ('boxes', 'scores', 'labels', 'count')}
 
     kwargs = {}
     if args.platforms:
         kwargs['platforms'] = args.platforms
-    exp = jax_export.export(infer, **kwargs)(
-        jax.ShapeDtypeStruct((B, N, 4), jnp.float32))
+    spec = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+            for k, v in dummy.items()}
+    exp = jax_export.export(infer, **kwargs)(spec)
     blob = exp.serialize()
     out_path = Path(args.out)
     out_path.write_bytes(blob)
     meta = {
         'model': cfg.MODEL.NAME,
         'class_names': list(cfg.CLASS_NAMES),
-        'input': {'points': [B, N, 4]},
+        'input': {k: [int(s) for s in v.shape] + [str(v.dtype)]
+                  for k, v in dummy.items()},
         'outputs': ['boxes', 'scores', 'labels', 'count'],
         'platforms': list(exp.platforms),
         'bytes': len(blob),
@@ -88,7 +99,7 @@ def main():
         json.dumps(meta, indent=2))
     print(f'exported {out_path} ({len(blob) / 1e6:.2f} MB, '
           f'platforms={list(exp.platforms)})')
-    print('replay: jax.export.deserialize(blob).call(points)')
+    print('replay: jax.export.deserialize(blob).call(batch_dict)')
 
 
 if __name__ == '__main__':

@@ -27,23 +27,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from spsnet_tpu.utils.jax_setup import setup_jax
 
 
-def load_points(path, num_points, rng):
-    path = Path(path)
-    if path.suffix == '.bin':
-        points = np.fromfile(str(path), dtype=np.float32).reshape(-1, 4)
-    elif path.suffix == '.npy':
-        points = np.load(str(path)).astype(np.float32)
-    else:
-        raise ValueError(f'unsupported file: {path}')
-    if len(points) >= num_points:
-        choice = rng.choice(len(points), num_points, replace=False)
-    else:
-        choice = np.concatenate([
-            np.arange(len(points)),
-            rng.choice(len(points), num_points - len(points))])
-    return points[choice]
-
-
 def write_kitti_txt(out_path, boxes_lidar, scores, labels, class_names,
                     calib, image_shape):
     """KITTI label lines in camera frame (parity with the reference's
@@ -81,6 +64,8 @@ def main():
     parser.add_argument('paths', nargs='*', help='explicit cloud files')
     parser.add_argument('--out_dir', type=str, required=True)
     parser.add_argument('--batch_size', type=int, default=8)
+    parser.add_argument('--num_features', type=int, default=4,
+                        help='point features per row in the input files')
     parser.add_argument('--num_points', type=int, default=None,
                         help='points per frame (default: DATA_CONFIG '
                              'sample_points, else 16384)')
@@ -120,63 +105,24 @@ def main():
     cfg = EDict()
     cfg_from_yaml_file(args.cfg_file, cfg)
     class_names = list(cfg.CLASS_NAMES)
-    num_points = args.num_points
-    if num_points is None:
-        num_points = 16384
-        for proc in cfg.get('DATA_CONFIG', EDict()).get('DATA_PROCESSOR', []):
-            if proc.get('NAME') == 'sample_points':
-                num_points = proc['NUM_POINTS'].get('test', 16384)
     model = build_detector(cfg.MODEL, num_class=len(class_names))
 
     B = args.batch_size
-    rng = np.random.default_rng(args.seed)
+    # voxel-family configs run the host pipeline (voxelization + sparse
+    # plans + ragged pad); point families take a fixed-N sample
+    from spsnet_tpu.data.serving import ServingPipeline
+    serving = ServingPipeline(cfg, B, num_points=args.num_points,
+                              num_features=args.num_features,
+                              seed=args.seed)
+    num_points = serving.num_points
 
-    # Voxel-family models (any config with a VFE stage) need the host
-    # preprocessing pipeline — voxelization + sparse-conv planning — not
-    # just a fixed-N point sample. Point clouds are padded to a static cap
-    # by cycling (collate_batch contract) so the jit shape is stable; the
-    # points array itself is shipped to the device only when the model
-    # reads it (PFE keypoints / num_pts IoU rescoring), since the tunnel
-    # transfer would otherwise dominate.
-    voxel_family = 'VFE' in cfg.MODEL
-    if voxel_family:
-        from spsnet_tpu.data.dataset import DatasetTemplate, collate_batch
-        pipeline = DatasetTemplate(dataset_cfg=cfg.DATA_CONFIG,
-                                   class_names=class_names, training=False)
-        needs_points = 'PFE' in cfg.MODEL or (
-            cfg.MODEL.POST_PROCESSING.NMS_CONFIG.get('SCORE_TYPE')
-            == 'num_pts_iou_cls')
-        max_points = int(cfg.DATA_CONFIG.get('MAX_POINTS_PER_FRAME',
-                                             args.num_points or 65536))
+    def make_batch(chunk):
+        return {k: jnp.asarray(v) for k, v in
+                serving.make_batch_from_files(chunk).items()}
 
-        def preprocess(path):
-            if Path(path).suffix == '.bin':
-                pts = np.fromfile(str(path), np.float32).reshape(-1, 4)
-            else:
-                pts = np.load(str(path)).astype(np.float32)
-            return pipeline.prepare_data({'points': pts})
-
-        def make_batch(chunk):
-            frames = [preprocess(p) for p in chunk]
-            frames += [frames[-1]] * (B - len(chunk))   # pad the tail batch
-            cb = collate_batch(frames, max_points=max_points)
-            drop = () if needs_points else ('points', 'points_valid')
-            return {k: jnp.asarray(v) for k, v in cb.items()
-                    if isinstance(v, np.ndarray) and v.dtype != object
-                    and k not in drop}
-
-        dummy = jax.tree_util.tree_map(
-            lambda x: jnp.zeros_like(x), make_batch(files[:1]))
-    else:
-        def make_batch(chunk):
-            pts = np.stack([load_points(p, num_points, rng) for p in chunk])
-            if len(chunk) < B:                  # pad the tail batch
-                pad = np.repeat(pts[-1:], B - len(chunk), axis=0)
-                pts = np.concatenate([pts, pad])
-            return {'points': jnp.asarray(pts)}
-
-        dummy = {'points': jnp.zeros((B, num_points, 4), jnp.float32)}
-
+    dummy = jax.tree_util.tree_map(
+        lambda x: jnp.zeros_like(x),
+        {k: jnp.asarray(v) for k, v in serving.example_batch().items()})
     variables = model.init(jax.random.PRNGKey(0), dummy, train=False)
     if args.ckpt:
         mgr = CheckpointManager(Path(args.ckpt))
