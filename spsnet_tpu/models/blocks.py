@@ -39,11 +39,13 @@ class SharedMLP(nn.Module):
     """
     channels: Sequence[int]
     use_bn: bool = True
+    dropout: float = 0.0
+    dropout_idx: Sequence[int] = ()
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         dt = get_compute_dtype()
-        for c in self.channels:
+        for k, c in enumerate(self.channels):
             x = nn.Dense(c, use_bias=not self.use_bn, dtype=dt)(x)
             if self.use_bn:
                 # BN statistics in fp32 regardless of compute dtype
@@ -51,6 +53,10 @@ class SharedMLP(nn.Module):
                                  momentum=0.9, epsilon=1e-5,
                                  dtype=jnp.float32)(x)
             x = nn.relu(x)
+            if self.dropout > 0 and k in tuple(self.dropout_idx):
+                # reference RoI heads interleave nn.Dropout(DP_RATIO)
+                # after the ReLU (e.g. pvrcnn_head.py:29-30)
+                x = nn.Dropout(self.dropout, deterministic=not train)(x)
         if dt is not None:
             x = x.astype(jnp.float32)
         return x
@@ -66,9 +72,13 @@ class MLPHead(nn.Module):
     hidden: Sequence[int]
     out_channels: int
     use_bn: bool = True
+    dropout: float = 0.0
+    dropout_idx: Sequence[int] = ()
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         if len(self.hidden) > 0:
-            x = SharedMLP(self.hidden, use_bn=self.use_bn)(x, train=train)
+            x = SharedMLP(self.hidden, use_bn=self.use_bn,
+                          dropout=self.dropout,
+                          dropout_idx=self.dropout_idx)(x, train=train)
         return nn.Dense(self.out_channels)(x)

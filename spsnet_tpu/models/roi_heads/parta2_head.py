@@ -136,12 +136,19 @@ class PartA2FCHead(nn.Module):
         self.box_coder = box_coder_lib.build_box_coder(
             self.model_cfg.TARGET_CONFIG.BOX_CODER)
         self.pool_size = int(self.model_cfg.ROI_AWARE_POOL.POOL_SIZE)
-        self.shared_fc = SharedMLP(list(self.model_cfg.SHARED_FC),
-                                   name='shared_fc')
+        # DP_RATIO dropout: between shared_fc blocks (partA2_head.py:39-40),
+        # after the FIRST cls/reg tower block (make_fc_layers k==0)
+        dp = float(self.model_cfg.get('DP_RATIO', 0.0))
+        self.shared_fc = SharedMLP(
+            list(self.model_cfg.SHARED_FC), name='shared_fc', dropout=dp,
+            dropout_idx=tuple(range(max(len(self.model_cfg.SHARED_FC) - 1,
+                                        0))))
         self.cls_layers = MLPHead(list(self.model_cfg.CLS_FC), self.num_class,
+                                  dropout=dp, dropout_idx=(0,),
                                   name='cls_layers')
         self.reg_layers = MLPHead(list(self.model_cfg.REG_FC),
                                   self.box_coder.code_size * self.num_class,
+                                  dropout=dp, dropout_idx=(0,),
                                   name='reg_layers')
         # conv_part / conv_rpn: two submanifold blocks each, 4->64->c0 and
         # C_in->64->c0 with c0 = NUM_FEATURES // 2 (``partA2_head.py:18-26``)

@@ -51,11 +51,14 @@ class PointRCNNHead(nn.Module):
         # the cls/reg towers come from RoIHeadTemplate.make_fc_layers,
         # which ALWAYS interleaves BN (``roi_head_template.py:36-44``) —
         # the head's USE_BN flag governs only xyz_up/merge/SA stacks
+        dp = float(self.model_cfg.get('DP_RATIO', 0.0))
         self.cls_layers = MLPHead(list(self.model_cfg.CLS_FC), self.num_class,
-                                  use_bn=True, name='cls_layers')
+                                  use_bn=True, dropout=dp, dropout_idx=(0,),
+                                  name='cls_layers')
         self.reg_layers = MLPHead(list(self.model_cfg.REG_FC),
                                   self.box_coder.code_size * self.num_class,
-                                  use_bn=True, name='reg_layers')
+                                  use_bn=True, dropout=dp, dropout_idx=(0,),
+                                  name='reg_layers')
 
     def proposal_layer(self, batch, nms_cfg):
         """Stage-1 preds -> rois via class-agnostic NMS

@@ -61,12 +61,19 @@ class PVRCNNHead(nn.Module):
             self.pool_mlps = [list(m) for m in pool.MLPS]
             self.pool_layers = [SharedMLP(m, name=f'pool_mlp_{i}')
                                 for i, m in enumerate(self.pool_mlps)]
-        self.shared_fc = SharedMLP(list(self.model_cfg.SHARED_FC),
-                                   name='shared_fc')
+        # DP_RATIO dropout: between shared_fc blocks (pvrcnn_head.py:29-30),
+        # after the FIRST cls/reg tower block (make_fc_layers k==0)
+        dp = float(self.model_cfg.get('DP_RATIO', 0.0))
+        self.shared_fc = SharedMLP(
+            list(self.model_cfg.SHARED_FC), name='shared_fc', dropout=dp,
+            dropout_idx=tuple(range(max(len(self.model_cfg.SHARED_FC) - 1,
+                                        0))))
         self.cls_layers = MLPHead(list(self.model_cfg.CLS_FC), self.num_class,
+                                  dropout=dp, dropout_idx=(0,),
                                   name='cls_layers')
         self.reg_layers = MLPHead(list(self.model_cfg.REG_FC),
                                   self.box_coder.code_size * self.num_class,
+                                  dropout=dp, dropout_idx=(0,),
                                   name='reg_layers')
 
     def proposal_layer(self, batch, nms_cfg):

@@ -109,9 +109,15 @@ class SECONDHead(nn.Module):
         self.grid_size_2d = int(self.model_cfg.ROI_GRID_POOL.GRID_SIZE)
         self.downsample_ratio = float(self.model_cfg.ROI_GRID_POOL.get(
             'DOWNSAMPLE_RATIO', self.bev_stride))
-        self.shared_fc = SharedMLP(list(self.model_cfg.SHARED_FC),
-                                   name='shared_fc')
+        # DP_RATIO dropout: between shared_fc blocks (second_head.py:24-25),
+        # after the FIRST iou tower block (make_fc_layers k==0)
+        dp = float(self.model_cfg.get('DP_RATIO', 0.0))
+        self.shared_fc = SharedMLP(
+            list(self.model_cfg.SHARED_FC), name='shared_fc', dropout=dp,
+            dropout_idx=tuple(range(max(len(self.model_cfg.SHARED_FC) - 1,
+                                        0))))
         self.iou_layers = MLPHead(list(self.model_cfg.IOU_FC), 1,
+                                  dropout=dp, dropout_idx=(0,),
                                   name='iou_layers')
 
     def proposal_layer(self, batch, nms_cfg):

@@ -85,13 +85,22 @@ class VoxelRCNNHead(nn.Module):
                 ))
             layers[name] = scales
         self.pool_layers_by_src = layers
-        self.shared_fc = SharedMLP(list(self.model_cfg.SHARED_FC),
-                                   name='shared_fc')
-        self.cls_layers = MLPHead(list(self.model_cfg.CLS_FC), self.num_class,
-                                  name='cls_layers')
-        self.reg_layers = MLPHead(list(self.model_cfg.REG_FC),
-                                  self.box_coder.code_size * self.num_class,
-                                  name='reg_layers')
+        # DP_RATIO dropout: between blocks in shared_fc AND the cls/reg
+        # hidden stacks (voxel_rcnn_head.py:49-77 — k != last in each)
+        dp = float(self.model_cfg.get('DP_RATIO', 0.0))
+        self.shared_fc = SharedMLP(
+            list(self.model_cfg.SHARED_FC), name='shared_fc', dropout=dp,
+            dropout_idx=tuple(range(max(len(self.model_cfg.SHARED_FC) - 1,
+                                        0))))
+        self.cls_layers = MLPHead(
+            list(self.model_cfg.CLS_FC), self.num_class, dropout=dp,
+            dropout_idx=tuple(range(max(len(self.model_cfg.CLS_FC) - 1, 0))),
+            name='cls_layers')
+        self.reg_layers = MLPHead(
+            list(self.model_cfg.REG_FC),
+            self.box_coder.code_size * self.num_class, dropout=dp,
+            dropout_idx=tuple(range(max(len(self.model_cfg.REG_FC) - 1, 0))),
+            name='reg_layers')
 
     def _voxel_centers(self, coords_zyx, downsample):
         vs = np.asarray(self.voxel_size, np.float32) * downsample

@@ -87,10 +87,21 @@ def make_train_step(model, tx, preprocess=None, loss_fn=None):
             rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
             batch = preprocess(batch, rng)
 
+        # per-step rng streams: RoI target sampling (two-stage heads'
+        # make_rng('roi_sampling')) and DP_RATIO dropout — without these
+        # every two-stage family crashes in the CLI train path
+        step_rngs = {
+            'roi_sampling': jax.random.fold_in(jax.random.PRNGKey(17),
+                                               state.step),
+            'dropout': jax.random.fold_in(jax.random.PRNGKey(23),
+                                          state.step),
+        }
+
         def compute(params):
             variables = {'params': params, 'batch_stats': state.batch_stats}
             out, mut = model.apply(
-                variables, batch, train=True, mutable=['batch_stats'])
+                variables, batch, train=True, mutable=['batch_stats'],
+                rngs=step_rngs)
             if loss_fn is not None:
                 loss, tb = loss_fn(out)
             else:

@@ -159,3 +159,42 @@ def test_preemption_signal_checkpoints_and_resumes(tmp_path):
     out = trainer2.train(FakeLoader(2, 8), state=trainer.init_state(
         next(iter(FakeLoader(1, 8)))), start_epoch=0)
     assert trainer2.ckpt.latest_step() == 1
+
+
+def test_trainer_two_stage_family(tmp_path):
+    """The Trainer's jitted train step must supply the 'roi_sampling' and
+    'dropout' rng streams — every two-stage RoI head calls
+    make_rng('roi_sampling') in its proposal-target branch (regression:
+    make_train_step applied the model with NO rngs, crashing all five
+    two-stage families in the CLI train path)."""
+    from spsnet_tpu.parallel.mesh import shard_batch
+    from spsnet_tpu.zoo import tiny_pointrcnn_cfg
+
+    model_cfg = tiny_pointrcnn_cfg()
+    model_cfg.ROI_HEAD.DP_RATIO = 0.3        # exercise dropout too
+    cfg = EDict({'CLASS_NAMES': ['Car', 'Pedestrian', 'Cyclist'],
+                 'MODEL': model_cfg,
+                 'OPTIMIZATION': tiny_optimization_cfg()})
+    model = build_detector(cfg.MODEL, num_class=3)
+    mesh = make_mesh()
+    trainer = Trainer(cfg, model, tmp_path, total_iters_each_epoch=2,
+                      mesh=mesh)
+    rng = np.random.default_rng(0)
+    B, N = 8, 256
+    pts = np.zeros((B, N, 4), np.float32)
+    pts[..., 0] = rng.uniform(1, 30, (B, N))
+    pts[..., 1] = rng.uniform(-20, 20, (B, N))
+    pts[..., 2] = rng.uniform(-2, 1, (B, N))
+    gt = np.zeros((B, 3, 8), np.float32)
+    gt[..., 0] = rng.uniform(5, 25, (B, 3))
+    gt[..., 1] = rng.uniform(-15, 15, (B, 3))
+    gt[..., 2] = -1.0
+    gt[..., 3:6] = [3.9, 1.6, 1.56]
+    gt[..., 7] = 1
+    batch = {'points': pts, 'gt_boxes': gt}
+    state = trainer.init_state(batch)
+    db = shard_batch(device_batch(batch), mesh)
+    for _ in range(2):
+        state, metrics = trainer.train_step(state, db)
+    assert np.isfinite(float(metrics['loss']))
+    assert int(state.step) == 2
