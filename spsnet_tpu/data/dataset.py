@@ -129,19 +129,38 @@ def collate_batch(batch_list, max_gt=DEFAULT_MAX_GT, max_points=None):
     ragged = pts is not None and (
         max_points is not None or len({len(v) for v in pts}) > 1)
     if ragged:
+        # no explicit cap (DATA_CONFIG.MAX_POINTS_PER_FRAME unset): round the
+        # batch max up to a COARSE 8192 bucket — each new bucket retriggers
+        # XLA compilation of the donated train/eval step (tens of seconds on
+        # TPU), so KITTI-scale clouds (~17-20k in range) should land in one
+        # or two buckets; the padding waste (<8192 rows/frame) is ~128 KB
         cap = int(max_points) if max_points is not None else \
-            -(-max(len(v) for v in pts) // 1024) * 1024
+            -(-max(len(v) for v in pts) // 8192) * 8192
+        for key in ('sem_labels', 'fake_labels'):
+            if data.get(key) and len(data[key]) != len(pts):
+                raise ValueError(
+                    f'{key} present in only {len(data[key])}/{len(pts)} '
+                    'frames of a ragged batch; per-point labels must be '
+                    'all-or-none across a batch (re-indexing by frame '
+                    'position would silently misalign them)')
         padded, valid = [], []
         for i, v in enumerate(pts):
-            n = min(len(v), cap)
-            idx = np.arange(cap) % max(n, 1)
-            take = v[idx[:cap]] if n else \
+            if len(v) > cap:
+                # evenly-spaced subsample over scan order — deterministic
+                # and covers the whole sweep (a head truncation would crop
+                # the frame's tail region entirely)
+                n = cap
+                idx = np.linspace(0, len(v) - 1, cap).astype(np.int64)
+            else:
+                n = len(v)
+                idx = np.arange(cap) % max(n, 1)
+            take = v[idx] if n else \
                 np.zeros((cap, v.shape[1]), dtype=v.dtype)
             padded.append(take)
             valid.append(np.arange(cap) < n)
             for key in ('sem_labels', 'fake_labels'):
                 if data.get(key):
-                    data[key][i] = data[key][i][idx[:cap]] if n else \
+                    data[key][i] = data[key][i][idx] if n else \
                         np.zeros(cap, data[key][i].dtype)
         data['points'] = padded
         data['points_valid'] = valid

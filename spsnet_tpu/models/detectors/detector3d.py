@@ -163,12 +163,26 @@ def iou_rescore_post_processing(batch, post_cfg, class_names=None):
 
     score_type = nms_cfg.get('SCORE_TYPE', None) or 'iou'
     if nms_cfg.get('SCORE_BY_CLASS', None) and score_type == 'score_by_class':
-        assert class_names is not None, 'score_by_class needs class_names'
+        assert class_names is not None, 'class_names required'
         use_iou = jnp.asarray(
             [True] + [nms_cfg.SCORE_BY_CLASS[c] == 'iou'
                       for c in class_names])        # index 0 = padding label
-        nms_scores = jnp.where(use_iou[jnp.clip(label_preds, 0, None)],
-                               iou_max, cls_preds)
+        routed = jnp.where(use_iou[jnp.clip(label_preds, 0, None)],
+                           iou_max, cls_preds)
+        # reference quirk (``set_nms_score_by_class``, second_net_iou.py:60):
+        # it loops ``range(torch.unique(label_preds).shape[0])`` — the COUNT
+        # of distinct label values (incl. the 0 of zero-padded roi slots) —
+        # masking labels 1..n_unique; any label above that count keeps
+        # nms_score 0 (e.g. labels {1,3} with no padding -> class-3 boxes
+        # are zeroed). Replicated exactly so parity holds box-for-box.
+        n_class = len(class_names)
+        present = jnp.stack(
+            [jnp.any(label_preds == k, axis=1)
+             for k in range(0, n_class + 1)], axis=1)        # (B, K+1)
+        n_unique = jnp.sum(present.astype(jnp.int32), axis=1,
+                           keepdims=True)                    # (B, 1)
+        nms_scores = jnp.where(
+            (label_preds >= 1) & (label_preds <= n_unique), routed, 0.0)
     elif score_type == 'iou':
         nms_scores = iou_max
     elif score_type == 'cls':

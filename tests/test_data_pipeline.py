@@ -177,7 +177,8 @@ def test_collate_batch_ragged_points():
         frames.append(f)
     batch = collate_batch(frames, max_gt=10)
     N = batch['points'].shape[1]
-    assert N == 1024 and N % 1024 == 0           # rounded-up batch max
+    assert N == 8192 and N % 8192 == 0           # coarse bucket (recompile
+    # granularity: each new bucket recompiles the donated train/eval step)
     assert batch['points_valid'].shape == (3, N)
     assert batch['points_valid'].sum(axis=1).tolist() == [100, 250, 130]
     # pad rows are cycled copies, so labels cycle identically
@@ -185,9 +186,18 @@ def test_collate_batch_ragged_points():
                                   batch['points'][0, :100])
     np.testing.assert_array_equal(batch['fake_labels'][0],
                                   np.arange(N) % 100)
-    # explicit cap: truncation keeps the first max_points rows
+    # explicit cap: over-cap frames are subsampled at evenly-spaced scan
+    # positions (covers the whole sweep; NOT a head truncation)
     batch2 = collate_batch(frames, max_gt=10, max_points=128)
     assert batch2['points'].shape[1] == 128
+    idx = np.linspace(0, 249, 128).astype(np.int64)
     np.testing.assert_array_equal(batch2['points'][1],
-                                  frames[1]['points'][:128])
+                                  frames[1]['points'][idx])
+    np.testing.assert_array_equal(batch2['fake_labels'][1],
+                                  frames[1]['fake_labels'][idx])
     assert bool(batch2['points_valid'][1].all())
+    # per-point labels must be all-or-none across a ragged batch
+    import pytest as _pytest
+    bad = [dict(frames[0]), {'points': frames[1]['points']}]
+    with _pytest.raises(ValueError, match='all-or-none'):
+        collate_batch(bad, max_gt=10, max_points=128)

@@ -244,11 +244,73 @@ def test_secondiou_forward_parity():
     for pc in variants:
         ref_pred = _ref_post(ref, bd, pc)
         our_dets = post_processing(dict(out), pc, class_names=class_names)
-        if pc.NMS_CONFIG.get('SCORE_TYPE') == 'score_by_class':
-            # the reference routes via a unique-label count loop that only
-            # covers labels 1..n_unique — identical to per-label routing
-            # whenever the surviving labels are contiguous from 1
-            labs = np.unique(bd['roi_labels'][0].numpy())
-            if not np.array_equal(labs, np.arange(1, len(labs) + 1)):
-                continue
+        _compare_dets(ref_pred, our_dets)
+
+
+@pytest.mark.slow
+def test_score_by_class_unique_label_quirk():
+    """``set_nms_score_by_class`` (second_net_iou.py:59-73) loops only over
+    the COUNT of unique label values — labels above that count keep
+    nms_score 0 (e.g. surviving labels {1,3}: class-3 boxes are zeroed and
+    score-thresholded away), and zero-padded roi slots inflate the count by
+    one. Our port replicates this exactly; verified against the reference's
+    own post_processing on crafted label patterns."""
+    from tests.reference_loader import build_reference_detector
+
+    cfg = _load_cfg()
+    torch.manual_seed(0)
+    ref = build_reference_detector('second_net_iou', 'SECONDNetIoU',
+                                   _load_cfg().MODEL).eval()
+    _patch_stack_ops()
+
+    pc = EDict()
+    for k, v in cfg.MODEL.POST_PROCESSING.items():
+        pc[k] = v
+    nc = EDict()
+    for k, v in cfg.MODEL.POST_PROCESSING.NMS_CONFIG.items():
+        nc[k] = v
+    nc.SCORE_TYPE = 'score_by_class'
+    nc.SCORE_BY_CLASS = {'Car': 'iou', 'Pedestrian': 'cls', 'Cyclist': 'iou'}
+    pc.NMS_CONFIG = nc
+
+    rng = np.random.default_rng(3)
+    R = 12
+    boxes = np.zeros((R, 7), np.float32)
+    boxes[:, 0] = rng.uniform(5, 60, R)
+    boxes[:, 1] = rng.uniform(-30, 30, R)
+    boxes[:, 2] = rng.uniform(-1.5, 0.0, R)
+    boxes[:, 3:6] = rng.uniform(1.0, 4.0, (R, 3)).astype(np.float32)
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, R)
+    iou_logits = rng.normal(size=(R, 1)).astype(np.float32) + 1.0
+    roi_scores = rng.normal(size=(R,)).astype(np.float32) + 1.0
+
+    patterns = [
+        [1, 3],        # class 2 absent, no padding -> class-3 boxes zeroed
+        [0, 1, 3],     # padding slot inflates n_unique -> class 3 routed
+        [2, 3],        # n_unique=2 -> class-3 boxes zeroed, class 2 routed
+        [1, 2, 3],     # contiguous: plain per-class routing
+    ]
+    for pat in patterns:
+        labels = np.asarray([pat[i % len(pat)] for i in range(R)], np.int64)
+        bd = {
+            'batch_size': 1,
+            'batch_cls_preds': torch.from_numpy(iou_logits[None]),
+            'batch_box_preds': torch.from_numpy(boxes[None]),
+            'roi_scores': torch.from_numpy(roi_scores[None]),
+            'roi_labels': torch.from_numpy(labels[None]),
+            'cls_preds_normalized': False,
+            'has_class_labels': True,
+        }
+        ref_pred = _ref_post(ref, bd, pc)
+        out = {
+            'batch_cls_preds': jnp.asarray(iou_logits)[None],
+            'batch_box_preds': jnp.asarray(boxes)[None],
+            'batch_roi_scores': jnp.asarray(roi_scores)[None],
+            'batch_roi_labels': jnp.asarray(labels.astype(np.int32))[None],
+            'cls_preds_normalized': False,
+            'has_class_labels': True,
+            'iou_rescoring': True,
+        }
+        our_dets = post_processing(out, pc,
+                                   class_names=list(cfg.CLASS_NAMES))
         _compare_dets(ref_pred, our_dets)

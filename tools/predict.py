@@ -68,7 +68,11 @@ def main():
                         help='point features per row in the input files')
     parser.add_argument('--num_points', type=int, default=None,
                         help='points per frame (default: DATA_CONFIG '
-                             'sample_points, else 16384)')
+                             'sample_points, else 16384); for voxel-family '
+                             'configs this instead caps the ragged cloud '
+                             '(default DATA_CONFIG.MAX_POINTS_PER_FRAME, '
+                             'else 65536) — over-cap frames are subsampled '
+                             'at evenly-spaced scan positions')
     parser.add_argument('--score_thresh', type=float, default=0.0,
                         help='drop detections below this score at write-out')
     parser.add_argument('--calib_dir', type=str, default=None,
