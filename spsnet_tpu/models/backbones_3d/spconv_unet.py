@@ -44,7 +44,14 @@ class UNetV2(nn.Module):
         x = SparseConv(64, name='conv4_down')(x_conv3, t('down4'), train=train)
         x = SparseConv(64, name='conv4_a')(x, t('subm4'), train=train)
         x_conv4 = SparseConv(64, name='conv4_b')(x, t('subm4'), train=train)
-        x_out = SparseConv(128, name='conv_out')(x_conv4, t('out'), train=train)
+        # PartA2_free sets RETURN_ENCODED_TENSOR False (``spconv_unet.py``:
+        # the anchor-free variant has no BEV branch, so conv_out and its
+        # params are skipped — keeps checkpoint import layouts matching)
+        return_encoded = bool(self.model_cfg.get('RETURN_ENCODED_TENSOR',
+                                                 True))
+        if return_encoded:
+            x_out = SparseConv(128, name='conv_out')(x_conv4, t('out'),
+                                                     train=train)
 
         # ---- decoder: the reference's UR blocks ----
         def ur_block(lateral, bottom, subm_key, n, ch, up_table=None,
@@ -78,9 +85,10 @@ class UNetV2(nn.Module):
         x_up1 = ur_block(x_conv1, x_up2, 'subm1', 1, 16)
 
         batch = dict(batch)
-        batch['encoded_voxel_features'] = x_out
-        batch['encoded_voxel_coords'] = batch['out_coords']
-        batch['encoded_voxel_valid'] = batch['out_valid']
+        if return_encoded:
+            batch['encoded_voxel_features'] = x_out
+            batch['encoded_voxel_coords'] = batch['out_coords']
+            batch['encoded_voxel_valid'] = batch['out_valid']
         batch['multi_scale_3d_features'] = {
             'x_conv1': x_conv1, 'x_conv2': x_conv2,
             'x_conv3': x_conv3, 'x_conv4': x_conv4,

@@ -7,7 +7,7 @@ from .centerpoint import CenterPoint
 from .second_net import SECONDNet
 from .pv_rcnn import PVRCNN
 from .voxel_rcnn import VoxelRCNN
-from .part_a2 import PartA2Net
+from .part_a2 import PartA2FreeNet, PartA2Net
 from .second_net_iou import SECONDNetIoU
 from .al_net import ALNet
 from .pv_rcnn_plusplus import PVRCNNPlusPlus
@@ -50,6 +50,11 @@ def build_detector(model_cfg, num_class, dataset=None, **kwargs):
             model_cfg.get('BACKBONE_3D', None) is not None and \
             model_cfg.BACKBONE_3D.get('NAME', '') == 'AL_3D':
         cls = ALNet
+    # PartA2_free.yaml drives the reference's generic PointRCNN two-stage
+    # runner over a UNetV2 voxel backbone + box-predicting intra-part head
+    if model_cfg.NAME == 'PointRCNN' and \
+            model_cfg.BACKBONE_3D.get('NAME', '') == 'UNetV2':
+        cls = PartA2FreeNet
     # detectors are flax dataclasses with family-specific fields (voxel_size,
     # final_grid_zyx, class_names, ...); drop kwargs a family doesn't take so
     # one config-derived kwargs dict serves the whole zoo

@@ -163,3 +163,77 @@ def test_parta2_end2end():
     for part in ('backbone_3d', 'point_head', 'roi_head'):
         assert any(np.abs(np.asarray(g)).max() > 0 for g in
                    jax.tree_util.tree_leaves(grads[part])), part
+
+
+def parta2_free_tiny_cfg():
+    """Anchor-free variant (reference PartA2_free.yaml): no BEV branch, the
+    intra-part head predicts per-point boxes that seed the RoI head."""
+    base = parta2_tiny_cfg((2,))
+    return EDict({
+        'NAME': 'PointRCNN',
+        'VFE': {'NAME': 'MeanVFE'},
+        'BACKBONE_3D': {'NAME': 'UNetV2', 'RETURN_ENCODED_TENSOR': False},
+        'POINT_HEAD': {
+            'NAME': 'PointIntraPartOffsetHead',
+            'CLS_FC': [16], 'PART_FC': [16], 'REG_FC': [16],
+            'CLASS_AGNOSTIC': False,
+            'TARGET_CONFIG': {
+                'GT_EXTRA_WIDTH': [0.2, 0.2, 0.2],
+                'BOX_CODER': 'PointResidualCoder',
+                'BOX_CODER_CONFIG': {
+                    'use_mean_size': True,
+                    'mean_size': [[3.9, 1.6, 1.56], [0.8, 0.6, 1.73],
+                                  [1.76, 0.6, 1.73]]}},
+            'LOSS_CONFIG': {'LOSS_WEIGHTS': {
+                'point_cls_weight': 1.0, 'point_box_weight': 1.0,
+                'point_part_weight': 1.0, 'code_weights': [1.0] * 8}},
+        },
+        'ROI_HEAD': dict(base.ROI_HEAD, DISABLE_PART=True,
+                         SEG_MASK_SCORE_THRESH=0.0),
+        'POST_PROCESSING': base.POST_PROCESSING,
+    })
+
+
+def test_parta2_free_end2end():
+    """PartA2FreeNet: forward emits proposals from the point head (no RPN);
+    train step has finite loss/grads through all three submodules incl. the
+    new per-point box branch."""
+    rng = np.random.default_rng(1)
+    batch, final_zyx = make_parta2_batch(rng)
+    cfg = parta2_free_tiny_cfg()
+    model = build_detector(cfg, num_class=3, voxel_size=VS,
+                           point_cloud_range=PCR)
+    from spsnet_tpu.models.detectors.part_a2 import PartA2FreeNet
+    assert isinstance(model, PartA2FreeNet)   # dispatch on UNetV2 backbone
+    rngs = {'params': jax.random.PRNGKey(0),
+            'roi_sampling': jax.random.PRNGKey(1)}
+    variables = model.init(rngs, batch, train=True)
+    # no BEV/encoded branch and no conv_out params in this variant
+    assert 'conv_out' not in variables['params']['backbone_3d']
+
+    out = model.apply(variables, batch, train=False)
+    assert out['batch_box_preds'].shape == (2, 8, 7)
+    assert np.isfinite(np.asarray(out['batch_box_preds'])).all()
+
+    other = {k: v for k, v in variables.items() if k != 'params'}
+
+    def compute(params):
+        o, _ = model.apply({'params': params, **other}, batch, train=True,
+                           mutable=['batch_stats'],
+                           rngs={'roi_sampling': jax.random.PRNGKey(2)})
+        loss, tb = model.apply({'params': params, **other}, o,
+                               method=model.loss)
+        return loss, tb
+
+    (loss, tb), grads = jax.value_and_grad(compute, has_aux=True)(
+        variables['params'])
+    assert np.isfinite(float(loss))
+    assert 'point_box_loss' in tb
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))
+    for part in ('backbone_3d', 'point_head', 'roi_head'):
+        assert any(np.abs(np.asarray(g)).max() > 0 for g in
+                   jax.tree_util.tree_leaves(grads[part])), part
+    # the box branch itself learns
+    assert any(np.abs(np.asarray(g)).max() > 0 for g in
+               jax.tree_util.tree_leaves(grads['point_head']['box_layers']))
