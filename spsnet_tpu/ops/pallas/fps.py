@@ -384,16 +384,17 @@ def farthest_point_sample_pallas(xyz, npoint: int, interpret: bool = False):
     return _fps_pallas_grid(xyz, npoint, interpret=interpret)
 
 
-def _fps_kernel_seeded(nvalid_ref, x_ref, y_ref, z_ref, d0_ref, out_ref,
-                       dist_ref, *, k0, no_padding=False):
-    """``_fps_kernel_unrolled_b`` with the first ``k0`` points pre-selected
-    as seeds: the min-dist plane starts from ``d0_ref`` (min d2 to the
-    seeds, computed OUTSIDE the kernel in parallel), seed indices are
-    written as iota rows, and the step loop runs only the remaining
-    ``M - k0`` FPS completions. The kernel is issue-bound per chain-step
-    body (see the chunked-FPS negative result), so time scales with
-    (M - k0) / M."""
-    n_valid = nvalid_ref[0]
+def _fps_kernel_seeded(scalars_ref, x_ref, y_ref, z_ref, d0_ref, sidx_ref,
+                       out_ref, dist_ref, *, k0, no_padding=False):
+    """``_fps_kernel_unrolled_b`` with ``k0`` points pre-selected as seeds:
+    the min-dist plane starts from ``d0_ref`` (min d2 to the seeds,
+    computed OUTSIDE the kernel in parallel), seed indices are copied from
+    ``sidx_ref`` (arange rows for head seeding, arbitrary for grid
+    seeding), and the step loop runs only the remaining ``M - k0`` FPS
+    completions. ``scalars_ref`` carries [n_valid, last-seed flat index per
+    batch]. The kernel is issue-bound per chain-step body (see the
+    chunked-FPS negative result), so time scales with (M - k0) / M."""
+    n_valid = scalars_ref[0]
     B = x_ref.shape[0]
     R = x_ref.shape[1]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, _LANE), 0)
@@ -415,10 +416,10 @@ def _fps_kernel_seeded(nvalid_ref, x_ref, y_ref, z_ref, d0_ref, out_ref,
         row = out_ref[b, pl.ds(r, 1), :]
         out_ref[b, pl.ds(r, 1), :] = jnp.where(lane_row == c, val, row)
 
-    # seed indices 0..k0-1 fill whole output rows (k0 % 128 == 0)
+    # seed indices fill whole output rows (k0 % 128 == 0)
     for b in range(B):
         for r in range(k0 // _LANE):
-            out_ref[b, pl.ds(r, 1), :] = r * _LANE + lane_row
+            out_ref[b, pl.ds(r, 1), :] = sidx_ref[b, pl.ds(r, 1), :]
 
     def step(j, carry):
         out = []
@@ -442,12 +443,19 @@ def _fps_kernel_seeded(nvalid_ref, x_ref, y_ref, z_ref, d0_ref, out_ref,
                 jnp.sum(jnp.where(lane_sel, z_ref[b, pl.ds(r, 1), :], 0.0))))
         return tuple(out)
 
-    # carry = last seed's coords; its d2 is already folded into d0 (the
-    # first step recomputes it — the min update is idempotent)
-    r0, c0 = (k0 - 1) // _LANE, (k0 - 1) % _LANE
-    seed = tuple((x_ref[b, r0, c0], y_ref[b, r0, c0], z_ref[b, r0, c0])
-                 for b in range(B))
-    jax.lax.fori_loop(k0, out_ref.shape[1] * _LANE, step, seed, unroll=False)
+    # carry = last seed's coords, extracted with the same (dynamic row,
+    # lane select) pattern the step loop uses; its d2 is already folded
+    # into d0 (the first step recomputes it — the min update is idempotent)
+    seed = []
+    for b in range(B):
+        idx = scalars_ref[1 + b]
+        r0 = idx // _LANE
+        lane_sel = lane_row == idx % _LANE
+        seed.append(tuple(
+            jnp.sum(jnp.where(lane_sel, ref[b, pl.ds(r0, 1), :], 0.0))
+            for ref in (x_ref, y_ref, z_ref)))
+    jax.lax.fori_loop(k0, out_ref.shape[1] * _LANE, step, tuple(seed),
+                      unroll=False)
 
 
 def _seed_min_kernel(px_ref, py_ref, pz_ref, sx_ref, sy_ref, sz_ref, o_ref):
@@ -476,19 +484,20 @@ def _seed_min_kernel(px_ref, py_ref, pz_ref, sx_ref, sy_ref, sz_ref, o_ref):
         o_ref[0] = jnp.minimum(o_ref[0], m)
 
 
-@functools.partial(jax.jit, static_argnames=('k0', 'interpret'))
-def _seed_min_d2(xyz_p, k0: int, interpret: bool = False):
-    """(B, Np, 3) -> (B, Np) min squared distance to the first k0 points.
-    Fused Pallas kernel: no (B, Np, k0) transient ever touches HBM (the
-    XLA scan/matmul forms measured 6.4 ms at B=8 Np=16384 k0=2048; this
-    kernel ~0.6 ms)."""
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def _seed_min_d2(xyz_p, seed_xyz, interpret: bool = False):
+    """(B, Np, 3), (B, k0, 3) seeds -> (B, Np) min squared distance to the
+    seeds. Fused Pallas kernel: no (B, Np, k0) transient ever touches HBM
+    (the XLA scan/matmul forms measured 6.4 ms at B=8 Np=16384 k0=2048;
+    this kernel ~0.6 ms)."""
     B, Np, _ = xyz_p.shape
+    k0 = seed_xyz.shape[1]
     bn = min(2048, Np)
     bm = min(256, k0)
     if Np % bn or k0 % bm:
         bn, bm = _LANE, _LANE               # both 128-multiples by contract
     p_planes = [xyz_p[..., i][:, None, :] for i in range(3)]   # (B, 1, Np)
-    s_planes = [xyz_p[:, :k0, i][..., None] for i in range(3)]  # (B, k0, 1)
+    s_planes = [seed_xyz[..., i][..., None] for i in range(3)]  # (B, k0, 1)
     out = pl.pallas_call(
         _seed_min_kernel,
         grid=(B, Np // bn, k0 // bm),
@@ -502,36 +511,54 @@ def _seed_min_d2(xyz_p, k0: int, interpret: bool = False):
 
 
 @functools.partial(jax.jit, static_argnames=('npoint', 'k0', 'interpret'))
-def farthest_point_sample_seeded(xyz, npoint: int, k0: int,
+def farthest_point_sample_seeded(xyz, npoint: int, k0: int, seed_idx=None,
                                  interpret: bool = False):
-    """Seeded FPS: pre-select the first ``k0`` points (the cloud is
-    shuffled upstream, so they are a uniform random subsample), initialize
-    the min-dist plane against them with one PARALLEL prepass, and run only
-    ``npoint - k0`` sequential FPS completion steps that fill the random
-    set's coverage holes. Returns (B, npoint): ``arange(k0)`` seeds
-    followed by the completion picks in selection order.
+    """Seeded FPS: pre-select ``k0`` points as seeds, initialize the
+    min-dist plane against them with one PARALLEL prepass, and run only
+    ``npoint - k0`` sequential FPS completion steps that fill the seed
+    set's coverage holes. Returns (B, npoint): the seed indices followed
+    by the completion picks in selection order.
+
+    ``seed_idx=None`` seeds with the first ``k0`` points (the cloud is
+    shuffled upstream, so they are a uniform random subsample); an
+    explicit (B, k0) int array seeds arbitrarily — see
+    ``grid_seed_indices`` for the voxel-stratified selector.
 
     Approximation contract mirrors the approx-top-k one: quality-vs-gt is
-    the accept gate (tools/validate_approx_topk.py --fps), SPSNET_FPS_SEED
-    opts in/out. Requires k0 % 128 == 0 and 0 < k0 < npoint <= N.
+    the accept gate (tools/validate_approx_topk.py --fps / --fps-train),
+    SPSNET_FPS_SEED opts in/out. Requires k0 % 128 == 0 and
+    0 < k0 < npoint <= N.
     """
     B, N, _ = xyz.shape
     if not (0 < k0 < npoint and k0 % _LANE == 0):
         raise ValueError(f'need 0 < k0 < npoint, k0 % 128 == 0; '
                          f'got k0={k0}, npoint={npoint}')
+    if seed_idx is None:
+        seed_idx = jnp.broadcast_to(jnp.arange(k0, dtype=jnp.int32)[None],
+                                    (B, k0))
+        seed_xyz = xyz[:, :k0]
+    else:
+        seed_idx = seed_idx.astype(jnp.int32)
+        seed_xyz = jnp.take_along_axis(xyz, seed_idx[..., None], axis=1)
     pad = (-N) % _LANE
     R = (N + pad) // _LANE
     xyz_p = jnp.pad(xyz, ((0, 0), (0, pad), (0, 0)))
-    d0 = _seed_min_d2(xyz_p, k0, interpret=interpret).reshape(B, R, _LANE)
+    d0 = _seed_min_d2(xyz_p, seed_xyz,
+                      interpret=interpret).reshape(B, R, _LANE)
     planes = [xyz_p[..., i].reshape(B, R, _LANE) for i in range(3)]
-    n_valid = jnp.full((1,), N, dtype=jnp.int32)
+    # scalar prefetch row: [n_valid, last-seed flat index per batch]
+    scalars = jnp.concatenate([jnp.full((1,), N, dtype=jnp.int32),
+                               seed_idx[:, -1]])
+    sidx_rows = seed_idx.reshape(B, k0 // _LANE, _LANE)
     Mr = -(-npoint // _LANE)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[pl.BlockSpec((B, R, _LANE), lambda g, nv: (0, 0, 0),
-                               memory_space=pltpu.VMEM)] * 4,
+                               memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec((B, k0 // _LANE, _LANE), lambda g, nv: (0, 0, 0),
+                        memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((B, Mr, _LANE), lambda g, nv: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((B, R, _LANE), jnp.float32)],
@@ -541,8 +568,42 @@ def farthest_point_sample_seeded(xyz, npoint: int, k0: int,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Mr, _LANE), jnp.int32),
         interpret=interpret,
-    )(n_valid, *planes, d0)
+    )(scalars, *planes, d0, sidx_rows)
     return out.reshape(B, Mr * _LANE)[:, :npoint]
+
+
+@functools.partial(jax.jit, static_argnames=('k0', 'grid'))
+def grid_seed_indices(xyz, k0: int, grid=(32, 32, 8)):
+    """(B, N, 3) -> (B, k0) voxel-stratified seed indices for seeded FPS.
+
+    Quantize each scene onto a ``grid`` of cells spanning its bounding box,
+    pick one representative point per occupied cell (the lowest original
+    index — a uniform draw, the cloud is shuffled upstream), and fill any
+    remaining slots with the lowest-index non-representatives. All returned
+    indices are DISTINCT (the rep/fill key spaces are disjoint and each
+    point appears once). Better completion coverage than head seeding at
+    the same k0: no two seeds are wasted on the same dense cluster cell.
+
+    Cost: one (B, N) sort + one top_k — no scatter (TPU scatters
+    serialize). int32-safe while n_cells * N < 2**31.
+    """
+    B, N, _ = xyz.shape
+    gf = jnp.asarray(grid, jnp.float32)
+    gi = jnp.asarray(grid, jnp.int32)
+    mn = xyz.min(axis=1, keepdims=True)
+    mx = xyz.max(axis=1, keepdims=True)
+    cell = jnp.maximum((mx - mn) / gf, 1e-6)
+    q = jnp.clip(((xyz - mn) / cell).astype(jnp.int32), 0, gi - 1)
+    vid = (q[..., 2] * grid[1] + q[..., 1]) * grid[0] + q[..., 0]  # (B, N)
+    assert grid[0] * grid[1] * grid[2] * N < 2 ** 31
+    comp = vid * N + jnp.arange(N, dtype=jnp.int32)[None]   # all distinct
+    s = jnp.sort(comp, axis=1)
+    svid, sidx = s // N, s % N
+    first = jnp.concatenate(
+        [jnp.ones((B, 1), bool), svid[:, 1:] != svid[:, :-1]], axis=1)
+    key = jnp.where(first, sidx, sidx + N)     # reps first, then fillers
+    neg_top = jax.lax.top_k(-key, k0)[0]
+    return ((-neg_top) % N).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=('npoint', 'chunks', 'interpret'))

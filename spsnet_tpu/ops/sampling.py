@@ -57,17 +57,25 @@ def farthest_point_sample(xyz, npoint: int, valid_mask=None):
     if valid_mask is None and jax.default_backend() == 'tpu':
         from .pallas.fps import (farthest_point_sample_chunked,
                                  farthest_point_sample_pallas,
-                                 farthest_point_sample_seeded)
+                                 farthest_point_sample_seeded,
+                                 grid_seed_indices)
         # SPSNET_FPS_SEED=f in (0, 1) opts into seeded FPS: the first
-        # f*npoint picks are the (shuffled = random) head of the cloud with
-        # a parallel dist-init prepass, only the rest run the sequential
-        # kernel. Enabling this also turns off the prefix-nesting shortcut
-        # (sa_module.py) — a seeded chain is not FPS-ordered.
+        # f*npoint picks are pre-selected seeds with a parallel dist-init
+        # prepass, only the rest run the sequential kernel.
+        # SPSNET_FPS_SEED_MODE picks the seed set: 'head' (default —
+        # shuffled cloud head = uniform random subsample) or 'grid'
+        # (voxel-stratified: one rep per occupied cell, better coverage at
+        # high f). Enabling seeding also turns off the prefix-nesting
+        # shortcut (sa_module.py) — a seeded chain is not FPS-ordered.
         frac = float(os.environ.get('SPSNET_FPS_SEED', '0'))
         if 0.0 < frac < 1.0:
             k0 = int(frac * npoint) // 128 * 128
             if 0 < k0 < npoint:
-                return farthest_point_sample_seeded(xyz, npoint, k0)
+                seed_idx = None
+                if os.environ.get('SPSNET_FPS_SEED_MODE', 'head') == 'grid':
+                    seed_idx = grid_seed_indices(xyz, k0)
+                return farthest_point_sample_seeded(xyz, npoint, k0,
+                                                    seed_idx)
         # SPSNET_FPS_CHUNKS=S > 1 opts into chunked (stratified) FPS —
         # measured FLAT on v5e (issue-bound kernel; see DESIGN.md), kept
         # for other hardware generations; divisibility permitting

@@ -118,3 +118,60 @@ def test_pallas_fps_seeded_semantics():
             dist = np.minimum(dist, d[:, nxt])
         np.testing.assert_array_equal(got[b], np.asarray(picks, np.int32))
     assert got.max() < N
+
+
+def test_pallas_fps_seeded_explicit_seed_idx():
+    """Seeded FPS with ARBITRARY seed indices == numpy twin: output head is
+    the given seeds verbatim, dist initialized to min-d2-over-those-seeds,
+    then exact greedy completions."""
+    from spsnet_tpu.ops.pallas.fps import farthest_point_sample_seeded
+
+    rng = np.random.default_rng(9)
+    B, N, M, K0 = 2, 500, 256, 128           # N % 128 != 0: padding path
+    xyz = rng.normal(size=(B, N, 3)).astype(np.float32) * 5
+    seed_idx = np.stack([rng.permutation(N)[:K0] for _ in range(B)]
+                        ).astype(np.int32)
+    got = np.asarray(farthest_point_sample_seeded(
+        jnp.asarray(xyz), M, K0, jnp.asarray(seed_idx), interpret=True))
+
+    for b in range(B):
+        d = ((xyz[b][:, None] - xyz[b][None]) ** 2).sum(-1)
+        dist = d[:, seed_idx[b]].min(axis=1)
+        picks = list(seed_idx[b])
+        for _ in range(M - K0):
+            nxt = int(np.argmax(dist))        # argmax ties -> lowest index
+            picks.append(nxt)
+            dist = np.minimum(dist, d[:, nxt])
+        np.testing.assert_array_equal(got[b], np.asarray(picks, np.int32))
+    assert got.max() < N
+
+
+def test_grid_seed_indices_stratified_and_distinct():
+    """grid_seed_indices returns k0 DISTINCT indices, prefers one rep per
+    occupied voxel, and spreads seeds across clusters a random head
+    wouldn't cover."""
+    from spsnet_tpu.ops.pallas.fps import grid_seed_indices
+
+    rng = np.random.default_rng(4)
+    B, N, K0 = 2, 2048, 128
+    # two tight clusters + sparse background: head seeding would land
+    # ~45% of seeds inside the clusters; grid seeding caps them at the
+    # cluster's occupied-cell count
+    xyz = np.empty((B, N, 3), dtype=np.float32)
+    for b in range(B):
+        pts = np.concatenate([
+            rng.normal(0, 0.05, (450, 3)) + [5, 5, 0],
+            rng.normal(0, 0.05, (450, 3)) + [-5, -5, 0],
+            rng.uniform(-20, 20, (N - 900, 3)),
+        ]).astype(np.float32)
+        xyz[b] = pts[rng.permutation(N)]
+    seeds = np.asarray(grid_seed_indices(jnp.asarray(xyz), K0))
+    assert seeds.shape == (B, K0)
+    for b in range(B):
+        assert len(np.unique(seeds[b])) == K0          # all distinct
+        sx = xyz[b, seeds[b]]
+        in_cluster = ((np.linalg.norm(sx - [5, 5, 0], axis=1) < 1)
+                      | (np.linalg.norm(sx - [-5, -5, 0], axis=1) < 1))
+        # 44% of points are clustered; stratified seeds should put far
+        # fewer there than a proportional draw
+        assert in_cluster.mean() < 0.15, in_cluster.mean()

@@ -60,7 +60,7 @@ def fixture_scene_batch(seed, batch_size, n_points, n_gt=8, n_per_obj=400):
     return np.stack(all_pts), np.stack(all_gt)
 
 
-def train_tiny(jax, jnp, steps=600):
+def train_tiny(jax, jnp, steps=600, data_seed=3, jitter_seed=11):
     """Overfit tiny IA-SSD on fixture-style car scenes so the comparison
     runs on a TRAINED score landscape — on an untrained net every bin/score
     is near-tied and argmax flips chaotically amplify tiny feature deltas,
@@ -95,7 +95,7 @@ def train_tiny(jax, jnp, steps=600):
                       total_iters_each_epoch=steps, mesh=mesh)
 
     B, N = 4, 4096
-    pts, gt = fixture_scene_batch(seed=3, batch_size=B, n_points=N)
+    pts, gt = fixture_scene_batch(seed=data_seed, batch_size=B, n_points=N)
     pts = pts.astype(np.float32)
     batch = {'points': pts, 'gt_boxes': gt}
     state = trainer.init_state(batch)
@@ -104,7 +104,7 @@ def train_tiny(jax, jnp, steps=600):
     # thing approx-top-k does) produces metre-scale deltas — a memorisation
     # artifact, not deployment behavior. Jitter forces neighbor-robust
     # features, the regime a net trained on real variative data lives in.
-    jitter_rng = np.random.default_rng(11)
+    jitter_rng = np.random.default_rng(jitter_seed)
     # held-out evaluation copy (same scenes, unseen jitter draw)
     eval_pts = pts.copy()
     eval_pts[..., :3] += jitter_rng.normal(
@@ -163,6 +163,99 @@ def train_tiny(jax, jnp, steps=600):
         'params': jax.device_get(state.params),
         'batch_stats': jax.device_get(state.batch_stats)}
     return model, variables, cfg, points_dev, gt
+
+
+def _quality_vs_gt(det, gt, score_min=0.1, match_radius=1.0):
+    """Detection quality against the TRUE boxes — the deployment metric.
+    Returns gt recall, precision of strong dets, and mean center error of
+    matched gts. (Module-level twin of main()'s closure so the seeded-FPS
+    lifecycle gate can reuse it per trained model.)"""
+    B = gt.shape[0]
+    n_gt = covered = n_det = n_det_good = 0
+    errs = []
+    for b in range(B):
+        nb = int(det['count'][b])
+        boxes_b = np.asarray(det['boxes'][b, :nb, :3])
+        strong = np.asarray(det['scores'][b, :nb]) >= score_min
+        boxes_b = boxes_b[strong]
+        gts = gt[b, :, :3]
+        n_gt += len(gts)
+        n_det += len(boxes_b)
+        if len(boxes_b) == 0:
+            continue
+        d = np.linalg.norm(gts[:, None] - boxes_b[None], axis=-1)
+        hit = d.min(axis=1) < match_radius
+        covered += int(hit.sum())
+        errs.extend(d.min(axis=1)[hit].tolist())
+        n_det_good += int((d.min(axis=0) < match_radius).sum())
+    return {
+        'gt_recall': covered / max(n_gt, 1),
+        'det_precision': n_det_good / max(n_det, 1),
+        'n_strong_dets': n_det,
+        'matched_center_err_mean_m': float(np.mean(errs)) if errs else None,
+    }
+
+
+def fps_train_gate():
+    """Seeded-FPS LIFECYCLE gate: train AND serve the tiny net under each
+    seed fraction (round 3's --fps gate trained exact and only served
+    seeded — 'train-time self-consistency under seeding has no test
+    surface' was the reason the default stayed off). Two independent data
+    seeds per fraction bound the proxy's noise."""
+    import os
+
+    from spsnet_tpu.utils.jax_setup import setup_jax
+    setup_jax()
+    import jax
+    import jax.numpy as jnp
+    from spsnet_tpu.models.detectors.detector3d import (
+        class_agnostic_nms_batch)
+
+    combos = [(0.0, 'head'), (0.5, 'head'), (0.75, 'head')]
+    for a in sys.argv:
+        if a.startswith('--combos='):    # e.g. --combos=0.75:grid,0.875:grid
+            combos = [(float(p.split(':')[0]), p.split(':')[1])
+                      for p in a.split('=', 1)[1].split(',')]
+    results = {}
+    for frac, mode in combos:
+        if frac > 0:
+            os.environ['SPSNET_FPS_SEED'] = str(frac)
+            os.environ['SPSNET_FPS_SEED_MODE'] = mode
+        else:
+            os.environ.pop('SPSNET_FPS_SEED', None)
+        per_seed = []
+        for dseed, jseed in ((3, 11), (5, 13)):
+            jax.clear_caches()
+            model, variables, cfg, points, gt = train_tiny(
+                jax, jnp, data_seed=dseed, jitter_seed=jseed)
+            post = cfg.MODEL.POST_PROCESSING
+
+            @jax.jit
+            def infer(variables, points):
+                out = model.apply(variables, {'points': points},
+                                  train=False)
+                return class_agnostic_nms_batch(
+                    out['batch_box_preds'], out['batch_cls_preds'],
+                    score_thresh=0.01,
+                    nms_thresh=float(post.NMS_CONFIG.NMS_THRESH),
+                    nms_pre=int(post.NMS_CONFIG.NMS_PRE_MAXSIZE),
+                    nms_post=int(post.NMS_CONFIG.NMS_POST_MAXSIZE))
+
+            det = {k: np.asarray(v)
+                   for k, v in infer(variables, points).items()}
+            per_seed.append({'data_seed': dseed,
+                             'quality': _quality_vs_gt(det, gt),
+                             'counts': det['count'].tolist()})
+        recalls = [s['quality']['gt_recall'] for s in per_seed]
+        results[f'seed_{frac}_{mode}'] = {
+            'per_seed': per_seed,
+            'gt_recall_mean': float(np.mean(recalls)),
+            'gt_recall_min': float(np.min(recalls)),
+        }
+    os.environ.pop('SPSNET_FPS_SEED', None)
+    os.environ.pop('SPSNET_FPS_SEED_MODE', None)
+    print(json.dumps({'backend': jax.default_backend(),
+                      'mode': 'fps_seed_lifecycle', **results}))
 
 
 def main():
@@ -358,4 +451,7 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    if '--fps-train' in sys.argv:
+        fps_train_gate()
+    else:
+        main()
