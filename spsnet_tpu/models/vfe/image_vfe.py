@@ -111,13 +111,18 @@ class DDN(nn.Module):
 
 # ---------------------------------------------------------------- f2v sample
 def trilinear_sample(volume, coords):
-    """grid_sample equivalent: volume (B, D, H, W, C); coords (B, X, Y, Z, 3)
-    normalized to [-1, 1] in (u, v, d) order like the reference's
-    ``normalize_coords`` (align_corners=True); zeros padding."""
+    """``F.grid_sample`` equivalent: volume (B, D, H, W, C); coords
+    (B, X, Y, Z, 3) normalized to [-1, 1] in (u, v, d) order; zeros
+    padding. Uses grid_sample's DEFAULT ``align_corners=False`` pixel
+    mapping ``((c + 1) * size - 1) / 2`` — the reference's Sampler
+    (``f2v/sampler.py:29``) relies on that default even though its
+    ``normalize_coords`` divides by ``shape - 1``; reproducing the
+    mismatch verbatim is the parity contract
+    (test_caddn_forward_parity.py)."""
     B, D, H, W, C = volume.shape
-    u = (coords[..., 0] + 1) / 2 * (W - 1)
-    v = (coords[..., 1] + 1) / 2 * (H - 1)
-    d = (coords[..., 2] + 1) / 2 * (D - 1)
+    u = ((coords[..., 0] + 1) * W - 1) / 2
+    v = ((coords[..., 1] + 1) * H - 1) / 2
+    d = ((coords[..., 2] + 1) * D - 1) / 2
 
     def corner(ix, iy, iz, w):
         ok = ((ix >= 0) & (ix < W) & (iy >= 0) & (iy < H) &
@@ -143,6 +148,50 @@ def trilinear_sample(volume, coords):
                      jnp.where(dz, fz, 1 - fz))
                 out = out + corner(x0 + dx, y0 + dy, z0 + dz, w)
     return out
+
+
+def make_frustum_grid(grid_size, point_cloud_range, disc, num_bins,
+                      downsample, lidar_to_cam, cam_to_img, image_shape):
+    """(B, 4, 4) x (B, 3, 4) -> (B, X, Y, Z, 3) normalized sample grid.
+
+    Reference-exact (``frustum_grid_generator.py:30-146`` +
+    ``transform_utils.py``), parity-tested against the reference's own
+    FrustumGridGenerator (test_caddn_forward_parity.py):
+    - image coords are normalized by the FULL-RES image shape minus one
+      (``normalize_coords`` divides by ``shape - 1``); the downsample
+      factor enters only through the sampler's feature resolution, NOT
+      here (the half-pixel offset this combination produces vs "divide u
+      by the stride" is part of the trained-checkpoint contract);
+    - dehomogenization follows kornia's ``1 / (z + eps)`` guarded form;
+    - non-finite grid entries -> -2 (out of bounds).
+    """
+    X, Y, Z = [int(g) for g in grid_size]
+    pcr = np.asarray(point_cloud_range, np.float32)
+    vs = (pcr[3:] - pcr[:3]) / np.asarray([X, Y, Z], np.float32)
+    ix, iy, iz = np.meshgrid(np.arange(X), np.arange(Y), np.arange(Z),
+                             indexing='ij')
+    centers = np.stack([ix, iy, iz], axis=-1).astype(np.float32) + 0.5
+    lidar = centers * vs + pcr[:3]                   # (X, Y, Z, 3)
+    lidar_h = jnp.concatenate(
+        [jnp.asarray(lidar), jnp.ones((X, Y, Z, 1))], axis=-1)
+
+    cam = jnp.einsum('bij,xyzj->bxyzi', lidar_to_cam, lidar_h)[..., :3]
+    cam_h = jnp.concatenate([cam, jnp.ones(cam.shape[:-1] + (1,))],
+                            axis=-1)
+    img_pts = jnp.einsum('bij,bxyzj->bxyzi', cam_to_img, cam_h)
+    depth = img_pts[..., 2] - cam_to_img[:, 2, 3][:, None, None, None]
+    z = img_pts[..., 2:3]
+    scale = jnp.where(jnp.abs(z) > 1e-8, 1.0 / (z + 1e-8), 1.0)
+    uv = img_pts[..., :2] * scale
+
+    d_bin = bin_depths(depth, disc['mode'], float(disc['depth_min']),
+                       float(disc['depth_max']), num_bins)
+    H_img, W_img = [float(s) for s in image_shape]
+    norm_u = uv[..., 0] / (W_img - 1) * 2 - 1
+    norm_v = uv[..., 1] / (H_img - 1) * 2 - 1
+    norm_d = d_bin / (num_bins - 1) * 2 - 1
+    grid = jnp.stack([norm_u, norm_v, norm_d], axis=-1)
+    return jnp.where(jnp.isfinite(grid), grid, -2.0)
 
 
 # ------------------------------------------------------------------- ImageVFE
@@ -171,37 +220,9 @@ class ImageVFE(nn.Module):
                                       name='channel_reduce_bn')
 
     def _frustum_grid(self, lidar_to_cam, cam_to_img, image_shape):
-        """(B, 4, 4) x (B, 3, 4) -> (B, X, Y, Z, 3) normalized sample grid
-        (``frustum_grid_generator.py``)."""
-        X, Y, Z = [int(g) for g in self.grid_size]
-        pcr = np.asarray(self.point_cloud_range, np.float32)
-        vs = (pcr[3:] - pcr[:3]) / np.asarray([X, Y, Z], np.float32)
-        ix, iy, iz = np.meshgrid(np.arange(X), np.arange(Y), np.arange(Z),
-                                 indexing='ij')
-        centers = np.stack([ix, iy, iz], axis=-1).astype(np.float32) + 0.5
-        lidar = centers * vs + pcr[:3]                   # (X, Y, Z, 3)
-        lidar_h = jnp.concatenate(
-            [jnp.asarray(lidar), jnp.ones((X, Y, Z, 1))], axis=-1)
-
-        cam = jnp.einsum('bij,xyzj->bxyzi', lidar_to_cam, lidar_h)[..., :3]
-        cam_h = jnp.concatenate([cam, jnp.ones(cam.shape[:-1] + (1,))],
-                                axis=-1)
-        img_pts = jnp.einsum('bij,bxyzj->bxyzi', cam_to_img, cam_h)
-        depth = img_pts[..., 2] - cam_to_img[:, 2, 3][:, None, None, None]
-        uv = img_pts[..., :2] / jnp.clip(img_pts[..., 2:3], 1e-6, None)
-
-        d_bin = bin_depths(depth, self.disc['mode'],
-                           float(self.disc['depth_min']),
-                           float(self.disc['depth_max']), self.num_bins)
-        H_img, W_img = [float(s) for s in image_shape]
-        # feature-map resolution
-        Wf = W_img / self.downsample
-        Hf = H_img / self.downsample
-        norm_u = (uv[..., 0] / self.downsample) / (Wf - 1) * 2 - 1
-        norm_v = (uv[..., 1] / self.downsample) / (Hf - 1) * 2 - 1
-        norm_d = d_bin / (self.num_bins - 1) * 2 - 1
-        grid = jnp.stack([norm_u, norm_v, norm_d], axis=-1)
-        return jnp.where(jnp.isfinite(grid), grid, -2.0)
+        return make_frustum_grid(self.grid_size, self.point_cloud_range,
+                                 self.disc, self.num_bins, self.downsample,
+                                 lidar_to_cam, cam_to_img, image_shape)
 
     def __call__(self, batch, train: bool = True):
         images = batch['images']                     # (B, H, W, 3) NHWC

@@ -154,8 +154,9 @@ def test_trilinear_sample_identity():
     from spsnet_tpu.models.vfe.image_vfe import trilinear_sample
     rng = np.random.default_rng(1)
     vol = rng.normal(size=(1, 4, 4, 4, 2)).astype(np.float32)  # (B,D,H,W,C)
-    # coords normalized with align_corners=True convention, (u, v, d)
-    xs = np.linspace(-1, 1, 4)
+    # coords normalized with grid_sample's DEFAULT align_corners=False
+    # convention (the reference Sampler's): center i -> (2*i + 1)/size - 1
+    xs = (2 * np.arange(4) + 1) / 4 - 1
     u, v, d = np.meshgrid(xs, xs, xs, indexing='ij')   # u=W, v=H, d=D
     coords = np.stack([u, v, d], axis=-1)[None].astype(np.float32)
     out = np.asarray(trilinear_sample(jnp.asarray(vol), jnp.asarray(coords)))
