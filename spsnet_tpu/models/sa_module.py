@@ -89,8 +89,8 @@ class SAModuleMSGWithSampling(nn.Module):
                     xyz_t, out_stds, npoint, self.ss_radius, self.ss_nsample,
                     min_unique=self.sfps_min_unique)
             elif 'D-FPS' in stype or 'DFS' in stype:
-                seeding = 0.0 < float(
-                    os.environ.get('SPSNET_FPS_SEED', '0')) < 1.0
+                from ..ops.sampling import fps_seed_config
+                seeding = 0.0 < fps_seed_config()[0] < 1.0
                 # chunked FPS emits concatenated per-slice chains, not one
                 # selection-order chain — the shortcut would keep slice 0 only
                 chunked = int(

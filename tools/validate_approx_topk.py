@@ -218,11 +218,9 @@ def fps_train_gate():
                       for p in a.split('=', 1)[1].split(',')]
     results = {}
     for frac, mode in combos:
-        if frac > 0:
-            os.environ['SPSNET_FPS_SEED'] = str(frac)
-            os.environ['SPSNET_FPS_SEED_MODE'] = mode
-        else:
-            os.environ.pop('SPSNET_FPS_SEED', None)
+        # frac 0 must be EXPLICIT: on TPU the unset default is now seeded
+        os.environ['SPSNET_FPS_SEED'] = str(frac)
+        os.environ['SPSNET_FPS_SEED_MODE'] = mode
         per_seed = []
         for dseed, jseed in ((3, 11), (5, 13)):
             jax.clear_caches()
