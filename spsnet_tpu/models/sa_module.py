@@ -89,8 +89,11 @@ class SAModuleMSGWithSampling(nn.Module):
                     xyz_t, out_stds, npoint, self.ss_radius, self.ss_nsample,
                     min_unique=self.sfps_min_unique)
             elif 'D-FPS' in stype or 'DFS' in stype:
-                from ..ops.sampling import fps_seed_config
-                seeding = 0.0 < fps_seed_config()[0] < 1.0
+                from ..ops.sampling import fps_seeding_active
+                # same engagement condition (incl. the 128-aligned k0
+                # rounding) as the sample_dfps dispatch — npoint small
+                # enough that seeding disengages keeps the free shortcut
+                seeding = fps_seeding_active(npoint, allow_seed=True)
                 # chunked FPS emits concatenated per-slice chains, not one
                 # selection-order chain — the shortcut would keep slice 0 only
                 chunked = int(

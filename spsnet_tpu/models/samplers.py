@@ -56,7 +56,10 @@ def sample_sss_aware(cls_features, stds, npoint):
 
 
 def sample_dfps(xyz, npoint, stds=None, valid_mask=None):
-    idx = ops.farthest_point_sample(xyz, npoint, valid_mask=valid_mask)
+    # allow_seed: this is the SA-module D-FPS dispatch — the call site the
+    # seeded-FPS lifecycle quality gate validated (see ops.fps_seed_config).
+    idx = ops.farthest_point_sample(xyz, npoint, valid_mask=valid_mask,
+                                    allow_seed=True)
     return idx, _gather_stds(stds, idx)
 
 

@@ -151,7 +151,7 @@ def trilinear_sample(volume, coords):
 
 
 def make_frustum_grid(grid_size, point_cloud_range, disc, num_bins,
-                      downsample, lidar_to_cam, cam_to_img, image_shape):
+                      lidar_to_cam, cam_to_img, image_shape):
     """(B, 4, 4) x (B, 3, 4) -> (B, X, Y, Z, 3) normalized sample grid.
 
     Reference-exact (``frustum_grid_generator.py:30-146`` +
@@ -159,9 +159,10 @@ def make_frustum_grid(grid_size, point_cloud_range, disc, num_bins,
     FrustumGridGenerator (test_caddn_forward_parity.py):
     - image coords are normalized by the FULL-RES image shape minus one
       (``normalize_coords`` divides by ``shape - 1``); the downsample
-      factor enters only through the sampler's feature resolution, NOT
-      here (the half-pixel offset this combination produces vs "divide u
-      by the stride" is part of the trained-checkpoint contract);
+      factor deliberately does NOT enter here — it acts only through the
+      sampler's feature resolution (the half-pixel offset this
+      combination produces vs "divide u by the stride" is part of the
+      trained-checkpoint contract);
     - dehomogenization follows kornia's ``1 / (z + eps)`` guarded form;
     - non-finite grid entries -> -2 (out of bounds).
     """
@@ -221,7 +222,7 @@ class ImageVFE(nn.Module):
 
     def _frustum_grid(self, lidar_to_cam, cam_to_img, image_shape):
         return make_frustum_grid(self.grid_size, self.point_cloud_range,
-                                 self.disc, self.num_bins, self.downsample,
+                                 self.disc, self.num_bins,
                                  lidar_to_cam, cam_to_img, image_shape)
 
     def __call__(self, batch, train: bool = True):

@@ -10,6 +10,9 @@ from .sampling import (
     farthest_point_sample,
     farthest_point_sample_with_dist,
     calc_square_dist,
+    fps_seed_config,
+    fps_seed_k0,
+    fps_seeding_active,
 )
 from .grouping import (
     ball_query,
@@ -31,6 +34,7 @@ from .boxes import (
 
 __all__ = [
     'farthest_point_sample', 'farthest_point_sample_with_dist', 'calc_square_dist',
+    'fps_seed_config', 'fps_seed_k0', 'fps_seeding_active',
     'ball_query', 'ball_query_dilated', 'gather_points', 'group_points',
     'query_and_group', 'zero_empty_balls', 'three_nn', 'three_interpolate',
     'points_in_boxes', 'boxes_overlap_bev', 'boxes_iou_bev', 'boxes_iou3d',

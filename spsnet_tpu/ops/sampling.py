@@ -45,9 +45,18 @@ def fps_seed_config():
     and throughput measured 308 vs 246 scenes/s (DESIGN.md round 4).
     ``SPSNET_FPS_SEED=0`` restores exact CUDA-parity FPS; any f in (0, 1)
     plus ``SPSNET_FPS_SEED_MODE=head|grid`` overrides. CPU (and the parity
-    suite, which runs on CPU) defaults to exact. Used by BOTH the sampler
-    dispatch below and sa_module's prefix-shortcut gating — a seeded chain
-    is not FPS-ordered, so the two must agree.
+    suite, which runs on CPU) defaults to exact.
+
+    SCOPE: the default only APPLIES to call sites that opt in with
+    ``allow_seed=True`` — the SA-module D-FPS dispatch, which is what the
+    lifecycle gate validated. Un-gated FPS consumers (PV-RCNN keypoint
+    selection, ds/ry-FPS partitions, S-FPS/FS bases) stay exact unless
+    ``SPSNET_FPS_SEED_SCOPE=all`` widens the scope explicitly.
+
+    NOTE all of these env vars are read at TRACE time: flipping them after
+    a jitted model has been traced is silently ignored by the jit cache —
+    call ``jax.clear_caches()`` after changing them (as
+    ``tools/validate_approx_topk.py`` does).
     """
     on_tpu = jax.default_backend() == 'tpu'
     frac = float(os.environ.get('SPSNET_FPS_SEED',
@@ -57,7 +66,34 @@ def fps_seed_config():
     return frac, mode
 
 
-def farthest_point_sample(xyz, npoint: int, valid_mask=None):
+def fps_seed_k0(npoint: int) -> int:
+    """Seed count the seeded-FPS path would use for ``npoint``, or 0 when
+    seeding disengages (fraction outside (0,1), or the 128-aligned seed
+    block rounds to nothing — npoint <= 170 at f=0.75).
+
+    Single source of truth for the engagement condition, shared by the
+    dispatch below and sa_module's prefix-shortcut gating so the two can
+    never disagree.
+    """
+    frac, _ = fps_seed_config()
+    if not 0.0 < frac < 1.0:
+        return 0
+    k0 = int(frac * npoint) // 128 * 128
+    return k0 if 0 < k0 < npoint else 0
+
+
+def fps_seeding_active(npoint: int, allow_seed: bool = True) -> bool:
+    """Whether ``farthest_point_sample(npoint, allow_seed=...)`` will run
+    the seeded approximation (TPU backend, engaged seed block, and either
+    a gated call site or ``SPSNET_FPS_SEED_SCOPE=all``)."""
+    if not (allow_seed
+            or os.environ.get('SPSNET_FPS_SEED_SCOPE', 'gated') == 'all'):
+        return False
+    return jax.default_backend() == 'tpu' and fps_seed_k0(npoint) > 0
+
+
+def farthest_point_sample(xyz, npoint: int, valid_mask=None,
+                          allow_seed: bool = False):
     """Iterative farthest point sampling.
 
     Args:
@@ -66,12 +102,22 @@ def farthest_point_sample(xyz, npoint: int, valid_mask=None):
         valid_mask: optional (B, N) bool; invalid points are never selected
             (used for padded point tensors — a capability the CUDA kernel
             lacks; it assumes fully-valid fixed N).
+        allow_seed: opt this call site into the TPU seeded-FPS default
+            (quality-gated sites only — the SA-module D-FPS dispatch).
+            Sites that leave it False always run exact FPS unless
+            ``SPSNET_FPS_SEED_SCOPE=all``.
     Returns:
         (B, npoint) int32 sample indices.
 
     On TPU (and without a mask) this dispatches to the fused Pallas kernel
     (``ops/pallas/fps.py``) — ~7x faster than the XLA loop at IA-SSD sizes
-    (12 ms vs 83 ms for B=4, 16384->4096 on v5e) with identical outputs.
+    (12 ms vs 83 ms for B=4, 16384->4096 on v5e). The exact kernel's
+    outputs are identical to the XLA loop; when ``allow_seed`` engages the
+    seeded approximation (default ON on TPU for gated sites — see
+    ``fps_seed_config``) the first ``fps_seed_k0(npoint)`` picks are
+    stratified seeds rather than true FPS picks. ``SPSNET_FPS_SEED=0``
+    restores exact everywhere; env reads happen at trace time (see
+    ``fps_seed_config``).
     """
     # integer-index output: no grad by semantics (like the CUDA kernel),
     # and the Pallas kernel defines no VJP — cut reverse-mode off here
@@ -81,23 +127,21 @@ def farthest_point_sample(xyz, npoint: int, valid_mask=None):
                                  farthest_point_sample_pallas,
                                  farthest_point_sample_seeded,
                                  grid_seed_indices)
-        # Seeded FPS (default ON at f=0.75/grid on TPU — see
-        # fps_seed_config): the first f*npoint picks are pre-selected
-        # seeds with a parallel dist-init prepass, only the rest run the
-        # sequential kernel. 'head' mode seeds with the shuffled cloud
-        # head (uniform random subsample); 'grid' voxel-stratifies (one
-        # rep per occupied cell — holds quality at high f). Seeding also
-        # turns off the prefix-nesting shortcut (sa_module.py) — a seeded
-        # chain is not FPS-ordered.
-        frac, mode = fps_seed_config()
-        if 0.0 < frac < 1.0:
-            k0 = int(frac * npoint) // 128 * 128
-            if 0 < k0 < npoint:
-                seed_idx = None
-                if mode == 'grid':
-                    seed_idx = grid_seed_indices(xyz, k0)
-                return farthest_point_sample_seeded(xyz, npoint, k0,
-                                                    seed_idx)
+        # Seeded FPS (default ON at f=0.75/grid on TPU for GATED call
+        # sites — see fps_seed_config): the first f*npoint picks are
+        # pre-selected seeds with a parallel dist-init prepass, only the
+        # rest run the sequential kernel. 'head' mode seeds with the
+        # shuffled cloud head (uniform random subsample); 'grid'
+        # voxel-stratifies (one rep per occupied cell — holds quality at
+        # high f). Seeding also turns off the prefix-nesting shortcut
+        # (sa_module.py) — a seeded chain is not FPS-ordered.
+        if fps_seeding_active(npoint, allow_seed):
+            k0 = fps_seed_k0(npoint)
+            _, mode = fps_seed_config()
+            seed_idx = None
+            if mode == 'grid':
+                seed_idx = grid_seed_indices(xyz, k0)
+            return farthest_point_sample_seeded(xyz, npoint, k0, seed_idx)
         # SPSNET_FPS_CHUNKS=S > 1 opts into chunked (stratified) FPS —
         # measured FLAT on v5e (issue-bound kernel; see DESIGN.md), kept
         # for other hardware generations; divisibility permitting

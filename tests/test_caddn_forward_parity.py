@@ -181,7 +181,7 @@ def test_caddn_frustum_chain_parity():
     ref_vox = ref_vox.permute(0, 4, 3, 2, 1).numpy()  # -> (B, X, Y, Z, C)
 
     # ---- ours: same math in jnp ----
-    grid = make_frustum_grid(GRID, PCR, dict(DISC), D_BINS, DS,
+    grid = make_frustum_grid(GRID, PCR, dict(DISC), D_BINS,
                              jnp.asarray(l2c), jnp.asarray(c2i),
                              [IMG_H, IMG_W])
 

@@ -97,3 +97,30 @@ def test_fps_prefix_nesting_property():
     again = np.asarray(ops.farthest_point_sample(sub, 16))
     np.testing.assert_array_equal(
         again, np.broadcast_to(np.arange(16, dtype=np.int32), (3, 16)))
+
+
+def test_fps_seed_scope_gating(monkeypatch):
+    """Seeded FPS engagement is scoped: un-gated call sites stay exact
+    unless SPSNET_FPS_SEED_SCOPE=all, and the shared k0 rounding kills
+    seeding for small npoint (advisor round-4 medium/low)."""
+    from spsnet_tpu.ops import sampling
+
+    monkeypatch.setenv('SPSNET_FPS_SEED', '0.75')
+    monkeypatch.setenv('SPSNET_FPS_SEED_MODE', 'grid')
+    # 128-aligned seed block: 4096 -> 3072; small npoint rounds to 0
+    assert sampling.fps_seed_k0(4096) == 3072
+    assert sampling.fps_seed_k0(170) == 0
+    assert sampling.fps_seed_k0(128) == 0
+    monkeypatch.setenv('SPSNET_FPS_SEED', '0')
+    assert sampling.fps_seed_k0(4096) == 0
+
+    # pretend we are on TPU so the backend check passes
+    monkeypatch.setenv('SPSNET_FPS_SEED', '0.75')
+    monkeypatch.setattr(sampling.jax, 'default_backend', lambda: 'tpu')
+    assert sampling.fps_seeding_active(4096, allow_seed=True)
+    assert not sampling.fps_seeding_active(4096, allow_seed=False)
+    assert not sampling.fps_seeding_active(170, allow_seed=True)
+    monkeypatch.setenv('SPSNET_FPS_SEED_SCOPE', 'all')
+    assert sampling.fps_seeding_active(4096, allow_seed=False)
+    monkeypatch.setenv('SPSNET_FPS_SEED_SCOPE', 'gated')
+    assert not sampling.fps_seeding_active(4096, allow_seed=False)
