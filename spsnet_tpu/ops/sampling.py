@@ -74,9 +74,15 @@ def fps_seed_k0(npoint: int) -> int:
     Single source of truth for the engagement condition, shared by the
     dispatch below and sa_module's prefix-shortcut gating so the two can
     never disagree.
+
+    ``frac >= 1.0`` with grid mode means PURE stratified sampling
+    (k0 == npoint: no sequential completion steps at all) — only
+    meaningful for grid seeds, so head mode disengages there.
     """
-    frac, _ = fps_seed_config()
-    if not 0.0 < frac < 1.0:
+    frac, mode = fps_seed_config()
+    if frac >= 1.0:
+        return npoint if (mode == 'grid' and npoint % 128 == 0) else 0
+    if not 0.0 < frac:
         return 0
     k0 = int(frac * npoint) // 128 * 128
     return k0 if 0 < k0 < npoint else 0
@@ -138,6 +144,10 @@ def farthest_point_sample(xyz, npoint: int, valid_mask=None,
         if fps_seeding_active(npoint, allow_seed):
             k0 = fps_seed_k0(npoint)
             _, mode = fps_seed_config()
+            if k0 == npoint:
+                # frac >= 1.0: pure grid-stratified sampling — one rep per
+                # occupied voxel cell, zero sequential FPS steps
+                return grid_seed_indices(xyz, npoint)
             seed_idx = None
             if mode == 'grid':
                 seed_idx = grid_seed_indices(xyz, k0)

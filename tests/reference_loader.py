@@ -120,6 +120,37 @@ def load_reference_pcdet():
     return sys.modules['pcdet']
 
 
+# Reference packages whose REAL __init__ defines the __all__ build registry
+# Detector3DTemplate dispatches on. Parity tests that import leaf modules
+# (e.g. CaDDN's frustum tests) may have replaced any of these with a bare
+# __path__ stub — detector building must repair them first.
+_REGISTRY_PKGS = (
+    'pcdet.models.backbones_3d.vfe',
+    'pcdet.models.backbones_3d.pfe',
+    'pcdet.models.backbones_3d',
+    'pcdet.models.backbones_2d.map_to_bev',
+    'pcdet.models.backbones_2d',
+    'pcdet.models.dense_heads',
+    'pcdet.models.roi_heads',
+)
+
+
+def _repair_registry_stubs():
+    """Re-import any registry package a previous test left as a bare
+    ``__path__`` stub (no ``__all__``), so detector building is
+    order-independent across the suite. Children are dropped before
+    parents so a parent's ``from .sub import X`` never resolves against a
+    stale stub."""
+    import importlib
+    broken = [p for p in _REGISTRY_PKGS
+              if p in sys.modules and not hasattr(sys.modules[p], '__all__')]
+    for p in broken:
+        del sys.modules[p]
+    for p in broken:
+        if p not in sys.modules:          # parent import may have pulled it
+            importlib.import_module(p)
+
+
 def build_reference_iassd(model_cfg, class_names=('Car', 'Pedestrian',
                                                   'Cyclist')):
     """Instantiate the reference's OWN IASSD torch model (CPU, random init)
@@ -180,15 +211,7 @@ def build_reference_iassd(model_cfg, class_names=('Car', 'Pedestrian',
 
     import numpy as np
 
-    # Other parity tests register bare __path__ stubs for subpackages like
-    # pcdet.models.dense_heads to import leaf modules; detector building
-    # needs the REAL package __init__ (its __all__ registry). Re-import any
-    # such stub so the result is order-independent across the suite.
-    for pkg in ('pcdet.models.dense_heads',):
-        mod = sys.modules.get(pkg)
-        if mod is not None and not hasattr(mod, '__all__'):
-            del sys.modules[pkg]
-            importlib.import_module(pkg)
+    _repair_registry_stubs()
 
     iassd_mod = importlib.import_module('pcdet.models.detectors.IASSD')
 
@@ -375,11 +398,7 @@ def build_reference_detector(detector_module, detector_class, model_cfg,
             mod.__path__ = [path]
 
     import importlib
-    for pkg in ('pcdet.models.dense_heads',):
-        mod = sys.modules.get(pkg)
-        if mod is not None and not hasattr(mod, '__all__'):
-            del sys.modules[pkg]
-            importlib.import_module(pkg)
+    _repair_registry_stubs()
 
     det_mod = importlib.import_module(
         f'pcdet.models.detectors.{detector_module}')

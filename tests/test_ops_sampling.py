@@ -124,3 +124,29 @@ def test_fps_seed_scope_gating(monkeypatch):
     assert sampling.fps_seeding_active(4096, allow_seed=False)
     monkeypatch.setenv('SPSNET_FPS_SEED_SCOPE', 'gated')
     assert not sampling.fps_seeding_active(4096, allow_seed=False)
+
+
+def test_fps_pure_grid_mode_dispatch(monkeypatch):
+    """frac >= 1.0 + grid mode = pure stratified sampling (k0 == npoint,
+    no sequential completion). Head mode disengages there; non-128
+    npoint disengages. (Opt-in only — the lifecycle gate REJECTED it as
+    a default; see DESIGN.md round-5 spikes.)"""
+    import jax.numpy as jnp
+
+    from spsnet_tpu.ops import sampling
+    from spsnet_tpu.ops.pallas.fps import grid_seed_indices
+
+    monkeypatch.setenv('SPSNET_FPS_SEED', '1.0')
+    monkeypatch.setenv('SPSNET_FPS_SEED_MODE', 'grid')
+    assert sampling.fps_seed_k0(4096) == 4096
+    assert sampling.fps_seed_k0(100) == 0          # not 128-aligned
+    monkeypatch.setenv('SPSNET_FPS_SEED_MODE', 'head')
+    assert sampling.fps_seed_k0(4096) == 0         # head mode: meaningless
+
+    # the stratified selector itself: distinct indices, full count
+    rng = np.random.default_rng(11)
+    xyz = jnp.asarray(rng.normal(size=(2, 1024, 3)).astype(np.float32) * 20)
+    idx = np.asarray(grid_seed_indices(xyz, 256))
+    assert idx.shape == (2, 256)
+    for b in range(2):
+        assert len(np.unique(idx[b])) == 256

@@ -144,7 +144,21 @@ def test_secondiou_end2end():
     variables = model.init(rngs, batch, train=True)
     out = model.apply(variables, batch, train=False)
     assert out['batch_box_preds'].shape == (2, 8, 7)
-    assert out['cls_preds_normalized'] is True
+    # since the reference-faithful rescoring rework (second_head.py emits
+    # RAW logits + iou_rescoring=True; blending happens in
+    # iou_rescore_post_processing, mirroring second_net_iou.py:76-180)
+    assert out['cls_preds_normalized'] is False
+    assert out['iou_rescoring'] is True
+    from spsnet_tpu.models.detectors.detector3d import post_processing
+    dets = post_processing(
+        out, EDict({'SCORE_THRESH': 0.0,
+                    'NMS_CONFIG': {'SCORE_TYPE': 'iou',
+                                   'NMS_THRESH': 0.7,
+                                   'NMS_PRE_MAXSIZE': 64,
+                                   'NMS_POST_MAXSIZE': 8}}),
+        class_names=['Car'])
+    assert dets['boxes'].shape == (2, 8, 7)
+    assert np.all(np.asarray(dets['count']) >= 0)
 
     other = {k: v for k, v in variables.items() if k != 'params'}
 
