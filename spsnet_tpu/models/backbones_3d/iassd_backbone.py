@@ -18,8 +18,25 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ... import ops
+from ...ops.sampling import fps_seeding_active
 from ..sa_module import SAModuleMSGWithSampling, VoteLayer
 from ..surface_feature import FeatureExtraction
+
+
+def _layer_fps_ordered(sampled_here: bool, npoint0: int,
+                       prev_ordered: bool) -> bool:
+    """Order flag for a pure-D-FPS SA layer's output chain.
+
+    ``encoder_xyz[j]`` is "a D-FPS chain in selection order" only if the
+    layer actually ran EXACT FPS: a pass-through (n <= npoint) inherits
+    the input's order, and a SEEDED run (fps_seeding_active for the
+    layer's own npoint — sample_dfps is a gated call site) emits seed
+    picks first, which is NOT an FPS chain, so downstream prefix
+    shortcuts must not fire. Unit-tested in test_ops_sampling.py.
+    """
+    if not sampled_here:
+        return prev_ordered
+    return not fps_seeding_active(npoint0, allow_seed=True)
 
 
 class IASSDBackbone(nn.Module):
@@ -157,8 +174,9 @@ class IASSDBackbone(nn.Module):
                            if self.ctr_idx_list[i] != -1 else None)
                 if self._dfps_static[i + 1] and ctr_xyz is None:
                     sampled_here = xyz_input.shape[1] > self._npoint0[i]
-                    fps_ordered.append(
-                        True if sampled_here else fps_ordered[in_idx])
+                    fps_ordered.append(_layer_fps_ordered(
+                        sampled_here, self._npoint0[i],
+                        fps_ordered[in_idx]))
                 else:
                     fps_ordered.append(False)
                 li_xyz, li_features, li_cls_pred, sampled_idx, stds = module(

@@ -150,3 +150,25 @@ def test_fps_pure_grid_mode_dispatch(monkeypatch):
     assert idx.shape == (2, 256)
     for b in range(2):
         assert len(np.unique(idx[b])) == 256
+
+
+def test_layer_fps_ordered_seeding_aware(monkeypatch):
+    """A seeded producing layer yields a chain that is NOT FPS-ordered:
+    the backbone's order flag must go False for it even when the NEXT
+    layer's npoint would disengage seeding (the k0-rounding hole)."""
+    from spsnet_tpu.models.backbones_3d.iassd_backbone import (
+        _layer_fps_ordered)
+    from spsnet_tpu.ops import sampling
+
+    monkeypatch.setenv('SPSNET_FPS_SEED', '0.75')
+    monkeypatch.setattr(sampling.jax, 'default_backend', lambda: 'tpu')
+    # layer ran seeded FPS (k0(1024)=768 engages) -> chain not FPS-ordered
+    assert _layer_fps_ordered(True, 1024, prev_ordered=False) is False
+    # small layer disengages seeding (k0(128)=0) -> exact chain
+    assert _layer_fps_ordered(True, 128, prev_ordered=False) is True
+    # pass-through inherits the input's order either way
+    assert _layer_fps_ordered(False, 1024, prev_ordered=True) is True
+    assert _layer_fps_ordered(False, 1024, prev_ordered=False) is False
+    # seeding off: any genuine FPS run is an exact chain
+    monkeypatch.setenv('SPSNET_FPS_SEED', '0')
+    assert _layer_fps_ordered(True, 1024, prev_ordered=False) is True
